@@ -1,0 +1,271 @@
+"""OpticalChain: the scene — a source bundle plus successive optical elements
+(ART/ModuleOpticalChain.py), with hash-gated retracing, source/element
+misalignment methods, and scan ("loop list") generators.
+
+The trace itself is the jitted batched engine
+(:func:`attosecondraytracing_tpu.ops.trace.trace`); chains with the same
+*structure* (same element types) reuse the same XLA executable, so parameter
+scans don't recompile.
+"""
+
+from __future__ import annotations
+
+import copy
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..ops import host_geometry as hg
+from ..ops.bundle import RayBundle
+from ..ops.trace import trace
+from . import sources as msource
+
+
+@partial(jax.jit, static_argnames=("ignore_defects", "keep_history"))
+def _traced(source, elements, ignore_defects, keep_history):
+    return trace(source, elements, ignore_defects=ignore_defects, keep_history=keep_history)
+
+
+def _bundle_hash(bundle: RayBundle) -> int:
+    parts = []
+    for leaf in bundle:
+        arr = np.asarray(leaf)
+        parts.append(hash(arr.tobytes()))
+    return hash(tuple(parts))
+
+
+class OpticalChain:
+    """Source rays + optical elements + description (+ scan metadata)."""
+
+    def __init__(
+        self,
+        source_rays: RayBundle,
+        optical_elements: list,
+        description: str = "",
+        loop_variable_name: str | None = None,
+        loop_variable_value: float | None = None,
+    ):
+        # deepcopy so later mutation of the caller's objects does not change
+        # this chain (reference does the same, ART/ModuleOpticalChain.py:118-120)
+        self.source_rays = source_rays
+        self.optical_elements = copy.deepcopy(list(optical_elements))
+        self.description = description
+        self.loop_variable_name = loop_variable_name
+        self.loop_variable_value = loop_variable_value
+        self._output_rays = None
+        self._last_source_hash = None
+        self._last_elements_hash = None
+
+    # ------------------------------------------------------------------
+    def copy_chain(self) -> "OpticalChain":
+        return OpticalChain(self.source_rays, self.optical_elements, self.description)
+
+    def device_elements(self):
+        return [e.to_device() for e in self.optical_elements]
+
+    def get_output_rays(self, ignore_defects: bool = True, force: bool = False):
+        """List of bundles *after* each element; recomputed only when source
+        or elements changed (hash-gated like ART/ModuleOpticalChain.py:183-202)."""
+        src_hash = _bundle_hash(self.source_rays)
+        el_hash = hash(tuple(hash(e) for e in self.optical_elements))
+        if force or src_hash != self._last_source_hash or el_hash != self._last_elements_hash:
+            self._output_rays = _traced(
+                self.source_rays, self.device_elements(), ignore_defects, True
+            )
+            self._last_source_hash = src_hash
+            self._last_elements_hash = el_hash
+        return self._output_rays
+
+    def trace_final(self, ignore_defects: bool = True) -> RayBundle:
+        """Only the bundle after the last element (cheapest path: no history
+        buffers — used by benchmarks and optimizers)."""
+        return _traced(self.source_rays, self.device_elements(), ignore_defects, False)
+
+    # ------------------------------------------------------------------
+    # visualization
+    def render(self, **kwargs):
+        """3D rendering of elements and rays (ART/ModuleOpticalChain.py:204-215)."""
+        from ..analysis.plots import RayRenderGraph
+
+        kwargs.setdefault("maxRays", 300)
+        kwargs.setdefault("OEpoints", 3000)
+        return RayRenderGraph(self, None, **kwargs)
+
+    def quickshow(self, **kwargs):
+        """Quick 3D look at the chain (documented but unimplemented in the
+        reference, ART/ModuleOpticalChain.py:41)."""
+        return self.render(maxRays=100, OEpoints=1000, **kwargs)
+
+    # ------------------------------------------------------------------
+    # source misalignment (ART/ModuleOpticalChain.py:219-369)
+
+    def _first_incidence_plane_normal(self):
+        central = np.asarray(self.source_rays.d, dtype=float).mean(axis=0)
+        central /= np.linalg.norm(central)
+        from .masks import Mask
+
+        for el in self.optical_elements:
+            if isinstance(el.type, Mask):
+                continue
+            if np.linalg.norm(np.cross(central, el.normal)) > 1e-10:
+                return central, el.normal
+        raise Exception(
+            "There doesn't seem to be a non-normal-incidence mirror in this optical chain, "
+            "so you should rather give 'axis' as a numpy-array of length 3."
+        )
+
+    def shift_source(self, axis, distance: float):
+        """Shift the source bundle by ``distance`` mm along ``axis``:
+        a lab vector or one of "vert"/"horiz"/"random" relative to the first
+        non-normal-incidence mirror's incidence plane
+        (ART/ModuleOpticalChain.py:219-292)."""
+        if isinstance(axis, np.ndarray) and len(axis) == 3:
+            translation = axis
+        else:
+            central, oe_normal = self._first_incidence_plane_normal()
+            perp = np.cross(central, oe_normal)
+            horiz = np.cross(perp, central)
+            if axis == "vert":
+                translation = perp
+            elif axis == "horiz":
+                translation = horiz
+            elif axis == "random":
+                translation = np.random.uniform(-1, 1) * perp + np.random.uniform(-1, 1) * horiz
+            else:
+                raise ValueError('The shift direction must be one of ["vert", "horiz", "random"].')
+        shift = distance * hg.normalize(translation)
+        self.source_rays = self.source_rays._replace(p=np.asarray(self.source_rays.p) + shift)
+
+    def tilt_source(self, axis, angle: float):
+        """Rotate source directions by ``angle`` deg about an axis: a lab
+        vector or "in_plane"/"out_plane"/"random"
+        (ART/ModuleOpticalChain.py:294-369)."""
+        if isinstance(axis, np.ndarray) and len(axis) == 3:
+            rot_axis = axis
+        else:
+            central, oe_normal = self._first_incidence_plane_normal()
+            ax_in = np.cross(central, oe_normal)
+            ax_out = np.cross(ax_in, central)
+            if axis == "in_plane":
+                rot_axis = ax_in
+            elif axis == "out_plane":
+                rot_axis = ax_out
+            elif axis == "random":
+                rot_axis = np.random.uniform(-1, 1) * ax_in + np.random.uniform(-1, 1) * ax_out
+            else:
+                raise ValueError(
+                    'The tilt axis must be one of ["in_plane", "out_plane", "random"] or a 3-vector.'
+                )
+        R = hg.rotation_around_axis(rot_axis, np.deg2rad(angle))
+        self.source_rays = self.source_rays._replace(d=np.asarray(self.source_rays.d) @ R.T)
+
+    def get_source_loop_list(self, axis: str, loop_variable_values):
+        """List of chains with the source tilted/shifted/refocused over the
+        given values (ART/ModuleOpticalChain.py:371-446)."""
+        names = {
+            "tilt_in_plane": "source tilt in-plane (deg)",
+            "tilt_out_plane": "source tilt out-of-plane (deg)",
+            "tilt_random": "source tilt random axis (deg)",
+            "shift_vert": "source shift vertical (mm)",
+            "shift_horiz": "source shift horizontal (mm)",
+            "shift_random": "source shift random-direction (mm)",
+            "divergence": "point-source divergence half-angle (rad)",
+        }
+        if axis not in names:
+            raise ValueError(f"axis must be one of {sorted(names)}")
+        chains = []
+        for x in loop_variable_values:
+            mod = self.copy_chain()
+            mod.loop_variable_name = names[axis]
+            mod.loop_variable_value = float(x)
+            if axis.startswith("tilt"):
+                mod.tilt_source(axis[5:], float(x))
+            elif axis.startswith("shift"):
+                mod.shift_source(axis[6:], float(x))
+            else:  # divergence: rebuild a point source with the same axis
+                p0 = np.asarray(self.source_rays.p)[0]
+                d0 = np.asarray(self.source_rays.d)[0]
+                edge_int = float(np.asarray(self.source_rays.intensity)[-1])
+                src = msource.PointSource(
+                    p0, d0, float(x), self.source_rays.n_rays, float(self.source_rays.wavelength)
+                )
+                mod.source_rays = msource.ApplyGaussianIntensityToRayList(src, edge_int)
+            chains.append(mod)
+        return chains
+
+    # ------------------------------------------------------------------
+    # element misalignment (ART/ModuleOpticalChain.py:449-657)
+
+    def rotate_OE(self, OEindx: int, axis: str, angle: float):
+        el = self.optical_elements[OEindx]
+        if axis == "pitch":
+            el.rotate_pitch_by(angle)
+        elif axis == "roll":
+            el.rotate_roll_by(angle)
+        elif axis == "yaw":
+            el.rotate_yaw_by(angle)
+        elif axis in ("random", "rotate_random"):
+            el.rotate_random_by(angle)
+        else:
+            raise ValueError('axis must be one of ["pitch", "roll", "yaw", "random"].')
+
+    def shift_OE(self, OEindx: int, axis: str, distance: float):
+        el = self.optical_elements[OEindx]
+        if axis == "normal":
+            el.shift_along_normal(distance)
+        elif axis == "major":
+            el.shift_along_major(distance)
+        elif axis == "cross":
+            el.shift_along_cross(distance)
+        elif axis == "random":
+            el.shift_along_random(distance)
+        else:
+            raise ValueError('axis must be one of ["normal", "major", "cross", "random"].')
+
+    def get_OE_loop_list(self, OEindx: int, axis: str, loop_variable_values):
+        """List of chains stepping one degree of freedom of one element
+        (ART/ModuleOpticalChain.py:533-614)."""
+        oe_name = self.optical_elements[OEindx].type.type + "_idx_" + str(OEindx)
+        names = {
+            "pitch": oe_name + " pitch rotation (deg)",
+            "roll": oe_name + " roll rotation (deg)",
+            "yaw": oe_name + " yaw rotation (deg)",
+            "rotate_random": oe_name + " random rotation (deg)",
+            "shift_normal": oe_name + " shift along normal axis (mm)",
+            "shift_major": oe_name + " shift along major axis (mm)",
+            "shift_cross": oe_name + " shift along (normal x major)-direction (mm)",
+            "shift_random": oe_name + " shift along random axis (mm)",
+        }
+        if axis not in names:
+            raise ValueError(f"axis must be one of {sorted(names)}")
+        chains = []
+        for x in loop_variable_values:
+            mod = self.copy_chain()
+            mod.loop_variable_name = names[axis]
+            mod.loop_variable_value = float(x)
+            if axis in ("pitch", "roll", "yaw", "rotate_random"):
+                mod.rotate_OE(OEindx, axis, float(x))
+            else:
+                mod.shift_OE(OEindx, axis[6:], float(x))
+            chains.append(mod)
+        return chains
+
+    def get_OE_random_loop_list(self, rotate_std: float, shift_std: float, number_sims: int, rng=None):
+        """Monte-Carlo tolerancing: every element randomly rotated and shifted
+        with normal-distributed amplitudes (ART/ModuleOpticalChain.py:616-657)."""
+        rng = np.random if rng is None else rng
+        name = (
+            "all optical elements randomly rotated with std=" + str(rotate_std)
+            + "deg and and shifted with Std=" + str(shift_std) + "mm"
+        )
+        chains = []
+        for i in range(number_sims):
+            mod = self.copy_chain()
+            mod.loop_variable_name = name
+            mod.loop_variable_value = i
+            for j in range(len(self.optical_elements)):
+                mod.rotate_OE(j, "random", rng.normal(loc=0, scale=rotate_std))
+                mod.shift_OE(j, "random", rng.normal(loc=0, scale=shift_std))
+            chains.append(mod)
+        return chains

@@ -1,0 +1,138 @@
+"""Device surface intersections vs. the independent host (np.roots) oracle,
+plus reflection-law and normal checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from attosecondraytracing_tpu.models import mirrors as mmirror
+from attosecondraytracing_tpu.models import supports as msupp
+from attosecondraytracing_tpu.ops import surfaces as srf
+from attosecondraytracing_tpu.ops import trace as tr
+from attosecondraytracing_tpu.ops.bundle import make_bundle
+
+
+def _mirrors():
+    return [
+        mmirror.MirrorPlane(msupp.SupportRound(20)),
+        mmirror.MirrorSpherical(600, msupp.SupportRound(20)),
+        mmirror.MirrorParabolic(100, 90, msupp.SupportRound(12)),
+        mmirror.MirrorParabolic(25.4, 0, msupp.SupportRectangle(20, 20)),
+        mmirror.MirrorToroidal(*mmirror.ReturnOptimalToroidalRadii(500, 80), msupp.SupportRectangle(150, 32)),
+        mmirror.MirrorEllipsoidal(msupp.SupportRectangle(80, 30), *mmirror.ReturnOptimalEllipsoidalAxes(600, 75)),
+        mmirror.MirrorCylindrical(800, msupp.SupportRectangle(60, 30)),
+    ]
+
+
+def _rays_towards(mirror, rng, n=200):
+    """Random rays aimed at the neighborhood of the mirror patch centre,
+    coming from the 'up' (+z from the centre) direction."""
+    centre = mirror.get_centre()
+    n_hat = mirror.get_normal(centre)
+    # origin: 100-800 mm away against the normal, with lateral spread
+    dist = rng.uniform(100, 800, size=n)
+    lateral = rng.normal(scale=20.0, size=(n, 3))
+    lateral -= np.outer(lateral @ n_hat, n_hat)
+    origins = centre + np.outer(dist, n_hat) + lateral
+    # aim at points spread around the centre
+    targets = centre + rng.normal(scale=5.0, size=(n, 3))
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return origins, dirs
+
+
+@pytest.mark.parametrize("mirror", _mirrors(), ids=lambda m: m.type.replace(" ", ""))
+def test_intersect_matches_host_oracle(mirror, rng):
+    origins, dirs = _rays_towards(mirror, rng)
+    surface = mirror.surface_params()
+    t, hit = srf.intersect(surface, mirror.support, jnp.asarray(origins), jnp.asarray(dirs))
+    t = np.asarray(t)
+    hit = np.asarray(hit)
+
+    n_hits = 0
+    for i in range(len(origins)):
+        q_host = mirror._intersect_host(origins[i], dirs[i])
+        if q_host is None:
+            assert not hit[i], f"ray {i}: device found hit {t[i]}, host found none"
+        else:
+            assert hit[i], f"ray {i}: host found hit, device missed"
+            q_dev = origins[i] + t[i] * dirs[i]
+            np.testing.assert_allclose(q_dev, q_host, atol=1e-8)
+            n_hits += 1
+    assert n_hits > 50, "test geometry produced too few hits to be meaningful"
+
+
+@pytest.mark.parametrize("mirror", _mirrors(), ids=lambda m: m.type.replace(" ", ""))
+def test_normals_match_host(mirror, rng):
+    origins, dirs = _rays_towards(mirror, rng, n=50)
+    surface = mirror.surface_params()
+    t, hit = srf.intersect(surface, mirror.support, jnp.asarray(origins), jnp.asarray(dirs))
+    q = np.asarray(origins + np.asarray(t)[:, None] * dirs)
+    n_dev = np.asarray(srf.normal_at(surface, jnp.asarray(q)))
+    for i in np.nonzero(np.asarray(hit))[0]:
+        n_host = mirror.get_normal(q[i])
+        np.testing.assert_allclose(n_dev[i], n_host, atol=1e-10)
+        assert n_dev[i][2] > 0  # 'up' convention
+
+
+def test_reflection_law(rng):
+    """Angle of incidence equals angle of reflection; energy direction flips
+    across the surface."""
+    mirror = mmirror.MirrorSpherical(500, msupp.SupportRound(30))
+    el = tr.MirrorElement(
+        rot=jnp.eye(3),
+        position=jnp.zeros(3),
+        centre=jnp.asarray(mirror.get_centre()),
+        surface=mirror.surface_params(),
+        support=mirror.support,
+    )
+    origins, dirs = _rays_towards(mirror, rng, n=100)
+    # to lab frame: element frame == lab shifted by centre
+    b = make_bundle(origins - mirror.get_centre(), dirs)
+    out = tr.trace(b, [el], keep_history=False)
+    alive = np.asarray(out.alive)
+    assert alive.sum() > 50
+    q = np.asarray(out.p)[alive] + mirror.get_centre()
+    d_in = dirs[alive]
+    d_out = np.asarray(out.d)[alive]
+    inc = np.asarray(out.incidence)[alive]
+    for i in range(len(q)):
+        n = mirror.get_normal(q[i])
+        ang_in = np.arccos(np.clip(-d_in[i] @ n, -1, 1))
+        ang_out = np.arccos(np.clip(d_out[i] @ n, -1, 1))
+        np.testing.assert_allclose(ang_in, ang_out, atol=1e-10)
+        np.testing.assert_allclose(inc[i], ang_in, atol=1e-9)
+        # d_in, d_out, n coplanar
+        assert abs(np.dot(np.cross(d_in[i], n), d_out[i])) < 1e-9
+
+
+def test_toroid_float32_accuracy(rng):
+    """The Newton-polished float32 toroid intersection stays within ~100 nm of
+    the float64 result at 80 deg grazing incidence."""
+    mirror = _mirrors()[4]
+    origins, dirs = _rays_towards(mirror, rng, n=500)
+    surface = mirror.surface_params()
+    t64, hit64 = srf.intersect(surface, mirror.support, jnp.asarray(origins), jnp.asarray(dirs))
+    t32, hit32 = srf.intersect(
+        surface, mirror.support, jnp.asarray(origins, dtype=jnp.float32), jnp.asarray(dirs, dtype=jnp.float32)
+    )
+    both = np.asarray(hit64) & np.asarray(hit32)
+    agree = np.mean(np.asarray(hit64) == np.asarray(hit32))
+    assert agree > 0.98  # support-edge rays may flip either way
+    err = np.abs(np.asarray(t32)[both] - np.asarray(t64)[both])
+    # t is O(100..800 mm): float32 ulp is ~3e-5..6e-5 mm, so a few-ulp error
+    # (sub-micron) is the attainable floor
+    assert np.median(err) < 3e-4
+    assert np.percentile(err, 99) < 1.5e-3
+
+
+def test_support_inclusion_vectorized():
+    supp = msupp.SupportRoundHole(30, 5, 10, 5)
+    from attosecondraytracing_tpu.ops import supports as sup
+
+    xs = np.array([0.0, 10.0, 29.0, 31.0, 10.0])
+    ys = np.array([0.0, 5.0, 0.0, 0.0, 9.0])
+    res = np.asarray(sup.include(supp, xs, ys))
+    # (10,5) is the hole centre; (31,0) is outside the disk; (10,9) is 4 mm
+    # from the hole centre, i.e. inside the 5 mm hole
+    assert list(res) == [True, False, True, False, False]
