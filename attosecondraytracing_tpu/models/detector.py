@@ -34,7 +34,7 @@ class Detector:
         """Place perpendicular to the bundle's central ray at the given
         distance from its mean origin point (ART/ModuleDetector.py:109-137)."""
         central_vec = np.asarray(stats.central_direction(bundle), dtype=float)
-        central_vec /= np.linalg.norm(central_vec)
+        central_vec = central_vec / np.linalg.norm(central_vec)
         central_point = np.asarray(stats.central_point(bundle), dtype=float)
         self.normal = -central_vec
         self.centre = central_point + central_vec * DistanceDetector
