@@ -1,0 +1,273 @@
+"""Driver / CLI: run a CONFIG file end to end (ARTmain.py equivalent).
+
+Usage::
+
+    python -m attosecondraytracing_tpu.main examples/CONFIG_xxx.py
+
+A CONFIG file is an executable Python module defining ``OpticalChain`` (or
+``OpticalChainList``), ``SourceProperties``, ``DetectorOptions`` and
+``AnalysisOptions`` — the same contract as the reference
+(ARTmain.py:56-96, docs/src/content/Usage/usage.md). Config scripts may also
+``from attosecondraytracing_tpu.main import main`` and call it directly.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+if os.environ.get("ART_TPU_PLATFORM"):
+    # explicit platform override (e.g. ART_TPU_PLATFORM=cpu for quick local
+    # runs); the axon TPU plugin ignores the plain JAX_PLATFORMS env var
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["ART_TPU_PLATFORM"])
+
+import numpy as np
+
+from . import default_options as defaults
+from .analysis import stats
+from .analysis.optimizer import FindOptimalDistance
+from .models.chain import OpticalChain
+from .models.detector import Detector
+from .ops.bundle import RayBundle
+from .utils import log
+from .utils.io import save_compressed
+
+
+def load_config(config):
+    """Pull the 4 config variables off an imported config module
+    (ARTmain.py:56-96)."""
+    if hasattr(config, "OpticalChainList"):
+        chains = config.OpticalChainList
+    elif hasattr(config, "OpticalChain"):
+        chains = config.OpticalChain
+    else:
+        raise ValueError(
+            "Could not import an optical-chain-object or list thereof with the "
+            "name OpticalChain or OpticalChainList."
+        )
+    source_props = getattr(config, "SourceProperties", {})
+    detector_opts = getattr(config, "DetectorOptions", {})
+    analysis_opts = getattr(config, "AnalysisOptions", {})
+    return chains, source_props, detector_opts, analysis_opts
+
+
+def complete_defaults(SourceProperties, DetectorOptions, AnalysisOptions):
+    """Merge user dicts over the defaults (ARTmain.py:99-110)."""
+    sp = defaults.default_source_properties()
+    do = defaults.default_detector_options()
+    ao = defaults.default_analysis_options()
+    sp.update(SourceProperties or {})
+    do.update(DetectorOptions or {})
+    ao.update(AnalysisOptions or {})
+    return sp, do, ao
+
+
+def setup_detector(chain: OpticalChain, DetectorOptions: dict, bundle: RayBundle | None = None) -> Detector:
+    """Manual or automatic detector placement (ARTmain.py:113-144)."""
+    ref_element = chain.optical_elements[DetectorOptions["ReflectionNumber"]]
+    if DetectorOptions["ManualDetector"]:
+        if DetectorOptions["DetectorCentre"] is None or DetectorOptions["DetectorNormal"] is None:
+            raise RuntimeError(
+                'Manual detector placement needs "DetectorCentre" and "DetectorNormal" '
+                'in the "DetectorOptions"-dictionary.'
+            )
+        return Detector(
+            ref_element.position,
+            DetectorOptions["DetectorCentre"],
+            DetectorOptions["DetectorNormal"],
+        )
+    if DetectorOptions["DistanceDetector"] is None:
+        raise RuntimeError(
+            'Automatic detector placement needs "DistanceDetector" in the '
+            '"DetectorOptions"-dictionary.'
+        )
+    if bundle is None:
+        raise RuntimeError("Automatic detector placement needs the analyzed ray bundle.")
+    det = Detector(ref_element.position)
+    det.autoplace(bundle, DetectorOptions["DistanceDetector"])
+    return det
+
+
+def _subsample(bundle: RayBundle, max_rays: int, rng=None) -> RayBundle:
+    """Randomly subsample alive rays for optimizer speed (ARTmain.py:168-171)."""
+    alive = np.asarray(bundle.alive)
+    idx = np.nonzero(alive)[0]
+    if len(idx) > max_rays:
+        rng = np.random if rng is None else rng
+        idx = rng.choice(idx, max_rays, replace=False)
+    return RayBundle(*[np.asarray(x)[idx] if np.ndim(x) else x for x in bundle])
+
+
+def optimize_detector(
+    bundle: RayBundle,
+    detector: Detector,
+    DetectorOptions: dict,
+    verbose: bool = True,
+    maxRaystoConsider: int = 1000,
+    IntensityWeighted: bool = False,
+    Amplitude=None,
+    Precision: int = 3,
+):
+    """Shift the detector to the optimum of DetectorOptions['OptFor']
+    (ARTmain.py:147-190)."""
+    sub = _subsample(bundle, maxRaystoConsider)
+    det, spot, duration = FindOptimalDistance(
+        detector, sub, DetectorOptions["OptFor"], Amplitude, Precision, IntensityWeighted, verbose
+    )
+    if verbose:
+        result = f"The optimal detector distance is {det.get_distance():.3f} mm, with"
+        if IntensityWeighted:
+            result += " intensity-weighted"
+        if DetectorOptions["OptFor"] in ["intensity", "spotsize", "size"]:
+            result += f" spatial std of {spot * 1e3:.3g} μm"
+        if DetectorOptions["OptFor"] in ["intensity", "duration"]:
+            result += f" temporal std of {duration:.3g} fs."
+        print(result, flush=True)
+    return det, spot, duration
+
+
+def get_result_summary(detector: Detector, bundle: RayBundle, verbose: bool = False):
+    """(spot SD, duration SD) + optional printed summary
+    (GetResultSummary, ART/ModuleAnalysisAndPlots.py:81-129)."""
+    spot, duration = detector.get_SpotAndDuration(bundle)
+    spot = float(spot)
+    duration = float(duration)
+    if verbose:
+        alive = np.asarray(bundle.alive)
+        xy = np.asarray(detector.get_PointList2DCentre(bundle))[alive]
+        delays = np.asarray(detector.get_Delays(bundle))[alive]
+        extent = max(np.ptp(xy[:, 0]), np.ptp(xy[:, 1])) if len(xy) else 0.0
+        print(
+            f"At the detector distance of {detector.get_distance():.3f} mm we get:\n"
+            f"Spatial std : {spot * 1e3:.3f} μm and min-max: {extent * 1e3:.3f} μm\n"
+            f"Temporal std : {duration:.3e} fs and min-max : {np.ptp(delays):.3e} fs"
+        )
+    return spot, duration
+
+
+def make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, AnalysisOptions):
+    """Flag-gated standard plots (ARTmain.py:193-244)."""
+    from .analysis import plots
+
+    A = AnalysisOptions
+    if A["plot_Render"]:
+        plots.RayRenderGraph(
+            chain,
+            detector.get_distance() * 1.2,
+            A["maxRaysToRender"],
+            A["OEPointsToRender"],
+            draw_mesh=A["draw_mesh"],
+            cycle_ray_colors=A["cycle_ray_colors"],
+        )
+    for which in ("Delay", "Intensity", "Incidence"):
+        if A[f"plot_{which}MirrorProjection"]:
+            plots.MirrorProjection(chain, DetectorOptions["ReflectionNumber"], detector, which)
+    if A["plot_SpotDiagram"]:
+        plots.SpotDiagram(bundle, detector, A["DrawAiryAndFourier"])
+    for which in ("Delay", "Intensity", "Incidence"):
+        if A[f"plot_{which}SpotDiagram"]:
+            plots.SpotDiagram(bundle, detector, A["DrawAiryAndFourier"], which)
+    for which in ("Delay", "Intensity", "Incidence"):
+        if A[f"plot_{which}Graph"]:
+            plots.DelayGraph(
+                bundle, detector, SourceProperties["DeltaFT"], A["DrawAiryAndFourier"],
+                None if which == "Delay" else which,
+            )
+
+
+def run_ART(chain: OpticalChain, SourceProperties, DetectorOptions, AnalysisOptions, loop=False):
+    """Trace one chain, set up / optimize its detector, summarize, plot
+    (ARTmain.py:248-300)."""
+    niceline = "_" * 99 + "\n"
+    output_rays = chain.get_output_rays()
+    bundle = output_rays[DetectorOptions["ReflectionNumber"]]
+
+    etransmission = float(stats.energy_transmission(chain.source_rays, bundle))
+    if AnalysisOptions["verbose"]:
+        print(niceline[:-1], flush=True)
+        if isinstance(chain.description, str) and chain.description:
+            print("***" + chain.description + "*** :")
+        if chain.loop_variable_name is not None and chain.loop_variable_value is not None:
+            print(f"For {chain.loop_variable_name} = {chain.loop_variable_value:f}:\n")
+        print(f"The optical setup has an energy transmission of {etransmission:.1f}%.\n")
+
+    detector = setup_detector(chain, DetectorOptions, bundle)
+
+    if DetectorOptions["AutoDetectorDistance"]:
+        detector, spot_sd, duration_sd = optimize_detector(
+            bundle,
+            detector,
+            DetectorOptions,
+            AnalysisOptions["verbose"],
+            maxRaystoConsider=1000,
+            IntensityWeighted=True,
+        )
+    else:
+        spot_sd, duration_sd = get_result_summary(detector, bundle, AnalysisOptions["verbose"])
+
+    if AnalysisOptions["verbose"]:
+        print(niceline)
+
+    if not loop:
+        plot_keys = [k for k in AnalysisOptions if k.startswith("plot_")]
+        if any(AnalysisOptions[k] for k in plot_keys):
+            make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, AnalysisOptions)
+
+    return chain, detector, etransmission, spot_sd, duration_sd
+
+
+def main(OpticalChainList, SourceProperties, DetectorOptions, AnalysisOptions, save_file_name=None):
+    """Loop over the chain(s), keep the results, optionally save
+    (ARTmain.py:304-342)."""
+    SourceProperties, DetectorOptions, AnalysisOptions = complete_defaults(
+        SourceProperties, DetectorOptions, AnalysisOptions
+    )
+
+    keeper_names = ["OpticalChain", "Detector", "ETransmission", "SpotSizeSD", "DurationSD"]
+    kept_data = {name: [] for name in keeper_names}
+
+    if isinstance(OpticalChainList, OpticalChain):
+        OpticalChainList = [OpticalChainList]
+        loop = False
+    elif not isinstance(OpticalChainList, list):
+        raise ValueError(
+            "The supplied OpticalChain is neither an OpticalChain-object, nor a list of those."
+        )
+    else:
+        loop = True
+
+    for i, chain in enumerate(OpticalChainList):
+        print(f"Optical Chain {i}/{len(OpticalChainList)} ", end="", flush=True)
+        values = run_ART(chain, SourceProperties, DetectorOptions, AnalysisOptions, loop)
+        for name, value in zip(keeper_names, values):
+            kept_data[name].append(value)
+
+    if AnalysisOptions["save_results"]:
+        log.transient("...saving data...")
+        save_compressed(kept_data, save_file_name)
+        log.clear_line()
+
+    return kept_data
+
+
+def run_config_file(path: str):
+    """Execute a CONFIG file and run main() on its contents (CLI path,
+    ARTmain.py:346-382)."""
+    log.print_banner()
+    filename = os.path.basename(path)
+    spec = importlib.util.spec_from_file_location(filename, path)
+    config_module = importlib.util.module_from_spec(spec)
+    sys.modules[filename] = config_module
+    spec.loader.exec_module(config_module)
+    chains, sp, do, ao = load_config(config_module)
+    return main(chains, sp, do, ao, save_file_name=os.path.splitext(path)[0])
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print("Usage: python -m attosecondraytracing_tpu.main CONFIG_FILE")
+        sys.exit(1)
+    run_config_file(sys.argv[1])
