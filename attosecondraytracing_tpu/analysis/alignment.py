@@ -1,0 +1,146 @@
+"""Gradient-based alignment optimization.
+
+The reference explores misalignments by brute-force scan lists and Monte-Carlo
+(ART/ModuleOpticalChain.py:371-657). Because this framework's trace is
+differentiable end-to-end, the detector metrics are differentiable in every
+element's pose, so alignment becomes *gradient descent on the real optical
+figure of merit* — the "training step" of this framework:
+
+    params (pitch/roll/yaw + shifts per element)
+      -> perturbed element poses (device-side rotation composition)
+      -> batched trace -> detector spot/duration metrics -> loss
+      -> jax.grad -> optimizer update
+
+Support clipping enters only through the alive mask; gradients flow through
+the smooth geometry of surviving rays (straight-through treatment of the
+mask, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..analysis import stats
+from ..ops.bundle import RayBundle
+from ..ops.geometry import rotation_around_axis
+from ..ops.trace import MaskElement, MirrorElement, trace
+
+
+class AlignmentParams(NamedTuple):
+    """Per-element pose perturbations: ``angles[k] = (pitch, roll, yaw)``
+    [rad] and ``shifts[k] = (normal, major, cross)`` [mm] — the same six
+    degrees of freedom as the reference's misalignment methods
+    (ART/ModuleOpticalElement.py:169-265)."""
+
+    angles: jnp.ndarray  # (K, 3)
+    shifts: jnp.ndarray  # (K, 3)
+
+
+def zero_params(n_elements: int, dtype=jnp.float32) -> AlignmentParams:
+    return AlignmentParams(
+        angles=jnp.zeros((n_elements, 3), dtype=dtype),
+        shifts=jnp.zeros((n_elements, 3), dtype=dtype),
+    )
+
+
+def _perturb_one(element, angles, shifts):
+    """Apply (pitch, roll, yaw) rotations about the element's (cross, major,
+    normal) axes and shifts along (normal, major, cross) — differentiable
+    device-side counterpart of rotate_*_by/shift_along_*."""
+    rot = element.rot  # rows: majoraxis, cross(=n x m), normal (lab frame)
+    m, c, n = rot[0], rot[1], rot[2]
+    R_delta = (
+        rotation_around_axis(c, angles[0])
+        @ rotation_around_axis(m, angles[1])
+        @ rotation_around_axis(n, angles[2])
+    )
+    new_rot = rot @ R_delta.T
+    new_pos = element.position + shifts[0] * n + shifts[1] * m + shifts[2] * c
+    return element._replace(rot=new_rot, position=new_pos)
+
+
+def apply_params(elements, params: AlignmentParams):
+    """Perturb every element's pose by the corresponding parameter row."""
+    return [
+        _perturb_one(el, params.angles[k], params.shifts[k])
+        for k, el in enumerate(elements)
+    ]
+
+
+def focus_loss(
+    params: AlignmentParams,
+    source: RayBundle,
+    elements,
+    det_centre,
+    det_normal,
+    det_rot,
+    duration_weight: float = 0.0,
+    ignore_defects: bool = True,
+):
+    """Scalar figure of merit: spot variance (+ weighted duration variance) on
+    a fixed detector plane, for the chain perturbed by ``params``."""
+    out = trace(source, apply_params(elements, params), ignore_defects=ignore_defects, keep_history=False)
+    w = out.alive.astype(out.p.dtype) * out.intensity
+    xy = stats.detector_points_2d(out, det_centre, det_normal, det_rot)
+    spot2 = stats.std_points(xy, w) ** 2
+    loss = spot2
+    if duration_weight:
+        delays = stats.detector_delays(out, det_centre, det_normal)
+        loss = loss + duration_weight * stats.std_scalar(delays, w) ** 2
+    return loss
+
+
+@partial(jax.jit, static_argnames=("duration_weight", "ignore_defects"))
+def alignment_step(
+    params: AlignmentParams,
+    lr: float,
+    source: RayBundle,
+    elements,
+    det_centre,
+    det_normal,
+    det_rot,
+    duration_weight: float = 0.0,
+    ignore_defects: bool = True,
+):
+    """One SGD step on the alignment parameters. Under a sharded ray axis the
+    gradient reduction becomes an all-reduce over the mesh (inserted by XLA).
+    Returns (new_params, loss)."""
+    loss, grads = jax.value_and_grad(focus_loss)(
+        params, source, elements, det_centre, det_normal, det_rot,
+        duration_weight=duration_weight, ignore_defects=ignore_defects,
+    )
+    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    return new_params, loss
+
+
+def gradient_align(
+    chain,
+    detector,
+    iters: int = 100,
+    lr: float = 1e-4,
+    duration_weight: float = 0.0,
+    params: AlignmentParams | None = None,
+    verbose: bool = False,
+):
+    """Host convenience loop: gradient-descend the alignment of a chain onto
+    a fixed detector plane. Returns (params, loss history)."""
+    elements = chain.device_elements()
+    source = chain.source_rays
+    det_rot = detector._plane_rotation()
+    if params is None:
+        params = zero_params(len(elements), dtype=jnp.asarray(source.p).dtype)
+    history = []
+    for i in range(iters):
+        params, loss = alignment_step(
+            params, lr, source, elements,
+            jnp.asarray(detector.centre), jnp.asarray(detector.normal), jnp.asarray(det_rot),
+            duration_weight=duration_weight,
+        )
+        history.append(float(loss))
+        if verbose and (i % max(1, iters // 10) == 0):
+            print(f"align iter {i}: loss {history[-1]:.6g}")
+    return params, history

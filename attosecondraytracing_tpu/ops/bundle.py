@@ -55,25 +55,32 @@ def make_bundle(points, directions, wavelength=None, intensity=None, dtype=None)
 
     Directions are normalized (the reference Ray.vector setter does the same,
     ART/ModuleOpticalRay.py:85-90).
+
+    Construction stays in host NumPy unless the inputs are already device
+    arrays: scene building is host-side work, and eager per-op device
+    dispatch is expensive (especially through a tunneled TPU). The single
+    host->device transfer happens when the bundle enters a jitted trace.
     """
-    p = jnp.asarray(points, dtype=dtype)
+    on_device = isinstance(points, jax.Array) or isinstance(directions, jax.Array)
+    xp = jnp if on_device else np
+    p = xp.asarray(points, dtype=dtype)
     dtype = p.dtype
-    d = jnp.asarray(directions, dtype=dtype)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = xp.asarray(directions, dtype=dtype)
+    d = d / xp.linalg.norm(d, axis=-1, keepdims=True)
     n = p.shape[0]
     if intensity is None:
-        intensity = jnp.ones((n,), dtype=dtype)
+        intensity = xp.ones((n,), dtype=dtype)
     else:
-        intensity = jnp.asarray(intensity, dtype=dtype)
-    wl = jnp.asarray(0.0 if wavelength is None else wavelength, dtype=dtype)
+        intensity = xp.asarray(intensity, dtype=dtype)
+    wl = xp.asarray(0.0 if wavelength is None else wavelength, dtype=dtype)
     return RayBundle(
         p=p,
         d=d,
-        opl=jnp.zeros((n,), dtype=dtype),
-        opl_c=jnp.zeros((n,), dtype=dtype),
-        alive=jnp.ones((n,), dtype=bool),
+        opl=xp.zeros((n,), dtype=dtype),
+        opl_c=xp.zeros((n,), dtype=dtype),
+        alive=xp.ones((n,), dtype=bool),
         intensity=intensity,
-        incidence=jnp.zeros((n,), dtype=dtype),
+        incidence=xp.zeros((n,), dtype=dtype),
         wavelength=wl,
     )
 

@@ -119,12 +119,16 @@ def _in_disk(r, x, y):
 
 
 def _in_rect(dx, dy, x, y):
-    return (jnp.abs(x) <= jnp.abs(dx) * 0.5) & (jnp.abs(y) <= jnp.abs(dy) * 0.5)
+    return (abs(x) <= abs(dx) * 0.5) & (abs(y) <= abs(dy) * 0.5)
 
 
 def include(support, x, y):
     """Vectorized point-in-support test. ``x``/``y`` are arrays of local
-    coordinates; returns a bool array of the same shape."""
+    coordinates; returns a bool array of the same shape.
+
+    Written with operators only, so it works identically on NumPy inputs
+    (host-side alignment tracing, no device dispatch) and on traced jnp
+    arrays (inside the jitted trace)."""
     if isinstance(support, SupportRound):
         return _in_disk(support.radius, x, y)
     if isinstance(support, SupportRoundHole):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import supports as sup
@@ -33,6 +34,11 @@ HIT_TOL = 1e-3
 
 _NEWTON_ITERS = 3
 _NEWTON_ITERS_TOROID = 6
+_NEWTON_ITERS_TOROID_FAST = 8
+
+import os as _os
+
+_TOROID_EXACT = _os.environ.get("ART_TPU_TOROID_EXACT", "0") == "1"
 
 
 class Plane(NamedTuple):
@@ -103,61 +109,69 @@ def _residual_cylinder(surface, q, u):
     return g, gp
 
 
-def _residual_parabola(surface, q, u):
-    x, y, z = q[..., 0], q[..., 1], q[..., 2]
-    p = surface.p
-    h = z - (x * x + y * y) / (2.0 * p)
-    hp = u[..., 2] - (x * u[..., 0] + y * u[..., 1]) / p
-    # scale to a distance: |grad h| = sqrt(x^2+y^2+p^2)/p
-    scale = p / jnp.sqrt(x * x + y * y + p * p)
-    return h * scale, hp * scale
+# component-form residuals: all operands are (N,)-shaped so every VPU lane
+# carries a ray (a trailing candidate/xyz axis of size 2..6 would occupy the
+# 128-wide lane dimension and waste ~98% of the vector unit)
 
 
-def _residual_ellipsoid(surface, q, u):
-    a2 = surface.a * surface.a
-    b2 = surface.b * surface.b
-    x, y, z = q[..., 0], q[..., 1], q[..., 2]
-    f = x * x / a2 + (y * y + z * z) / b2 - 1.0
-    fp = 2.0 * (x * u[..., 0] / a2 + (y * u[..., 1] + z * u[..., 2]) / b2)
-    grad = 2.0 * jnp.sqrt((x / a2) ** 2 + (y / b2) ** 2 + (z / b2) ** 2)
-    scale = 1.0 / jnp.maximum(grad, 1e-30)
-    return f * scale, fp * scale
+def _residual_c(surface, x, y, z, ux, uy, uz):
+    if isinstance(surface, Sphere):
+        rr = x * x + y * y + z * z
+        inv_r = jax.lax.rsqrt(jnp.maximum(rr, 1e-30))
+        return rr * inv_r - surface.radius, (x * ux + y * uy + z * uz) * inv_r
+    if isinstance(surface, Cylinder):
+        rr = y * y + z * z
+        inv_r = jax.lax.rsqrt(jnp.maximum(rr, 1e-30))
+        return rr * inv_r - surface.radius, (y * uy + z * uz) * inv_r
+    if isinstance(surface, Parabola):
+        p = surface.p
+        h = z - (x * x + y * y) / (2.0 * p)
+        hp = uz - (x * ux + y * uy) / p
+        scale = p * jax.lax.rsqrt(x * x + y * y + p * p)
+        return h * scale, hp * scale
+    if isinstance(surface, Ellipsoid):
+        inv_a2 = 1.0 / (surface.a * surface.a)
+        inv_b2 = 1.0 / (surface.b * surface.b)
+        f = x * x * inv_a2 + (y * y + z * z) * inv_b2 - 1.0
+        fp = 2.0 * (x * ux * inv_a2 + (y * uy + z * uz) * inv_b2)
+        gg = (x * inv_a2) ** 2 + (y * inv_b2) ** 2 + (z * inv_b2) ** 2
+        scale = 0.5 * jax.lax.rsqrt(jnp.maximum(gg, 1e-30))
+        return f * scale, fp * scale
+    if isinstance(surface, Toroid):
+        R, r = surface.major_radius, surface.minor_radius
+        rho2 = x * x + z * z
+        inv_rho = jax.lax.rsqrt(jnp.maximum(rho2, 1e-30))
+        w = rho2 * inv_rho - R
+        s2 = w * w + y * y
+        inv_s = jax.lax.rsqrt(jnp.maximum(s2, 1e-30))
+        g = s2 * inv_s - r
+        drho_dt = (x * ux + z * uz) * inv_rho
+        gp = (w * drho_dt + y * uy) * inv_s
+        return g, gp
+    raise TypeError(f"unknown surface {type(surface)}")
 
 
-def _residual_toroid(surface, q, u):
-    R, r = surface.major_radius, surface.minor_radius
-    x, y, z = q[..., 0], q[..., 1], q[..., 2]
-    rho = jnp.hypot(x, z)
-    w = rho - R
-    s = jnp.hypot(w, y)
-    g = s - r
-    drho_dt = (x * u[..., 0] + z * u[..., 2]) / jnp.maximum(rho, 1e-30)
-    gp = (w * drho_dt + y * u[..., 1]) / jnp.maximum(s, 1e-30)
-    return g, gp
-
-
-_RESIDUALS = {
-    Sphere: _residual_sphere,
-    Cylinder: _residual_cylinder,
-    Parabola: _residual_parabola,
-    Ellipsoid: _residual_ellipsoid,
-    Toroid: _residual_toroid,
-}
-
-
-def _newton_polish(surface, p, d, t, iters):
-    """Newton-polish candidate roots ``t`` (any batch shape); returns
-    (t, |g(t)|)."""
-    res = _RESIDUALS[type(surface)]
-    for _ in range(iters):
-        q = p + t[..., None] * d
-        g, gp = res(surface, q, d)
-        # guard: keep t fixed where derivative vanishes (grazing turning point)
-        step = g / jnp.where(jnp.abs(gp) > 1e-12, gp, jnp.inf)
-        t = t - step
-    q = p + t[..., None] * d
-    g, _ = res(surface, q, d)
-    return t, jnp.abs(g)
+def _polish_candidates(surface, p, d, cands, iters):
+    """Newton-polish a static list of (N,) candidate roots; returns a list of
+    (t, |g|, (x, y, z)) with all arrays (N,)-shaped."""
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    ux, uy, uz = d[..., 0], d[..., 1], d[..., 2]
+    out = []
+    for t in cands:
+        for _ in range(iters):
+            x = px + t * ux
+            y = py + t * uy
+            z = pz + t * uz
+            g, gp = _residual_c(surface, x, y, z, ux, uy, uz)
+            # guard: keep t fixed where the derivative vanishes (grazing
+            # turning point)
+            t = t - g / jnp.where(jnp.abs(gp) > 1e-12, gp, jnp.inf)
+        x = px + t * ux
+        y = py + t * uy
+        z = pz + t * uz
+        g, _ = _residual_c(surface, x, y, z, ux, uy, uz)
+        out.append((t, jnp.abs(g), (x, y, z)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +180,15 @@ def _newton_polish(surface, p, d, t, iters):
 
 
 def _solve_quadratic(a, b, c):
-    """Stable quadratic roots (citardauq form); invalid roots -> nan."""
+    """Stable quadratic roots (citardauq form); invalid roots -> nan.
+
+    All guards use the safe-operand double-where pattern so reverse-mode
+    gradients stay finite (sqrt'(0)/0-division in unselected branches would
+    otherwise poison the cotangents with 0*inf)."""
     disc = b * b - 4.0 * a * c
     ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+    sq = jnp.where(ok, sq, 0.0)
     qq = -0.5 * (b + jnp.sign(b) * sq)
     # sign(0) = 0 -> qq = -b/2; fine since then disc = -4ac and roots are +-sq/2a
     qq = jnp.where(b == 0.0, -0.5 * sq, qq)
@@ -217,19 +236,24 @@ def _largest_real_cubic_root(a2, a1, a0):
     p = a1 - a2 * a2 / 3.0
     q = 2.0 * a2**3 / 27.0 - a2 * a1 / 3.0 + a0
     disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
-    # three-real-root case (disc <= 0): trigonometric solution
-    mp3 = jnp.sqrt(jnp.maximum(-p / 3.0, 1e-300))
-    cos_arg = jnp.clip(3.0 * q / (2.0 * p * mp3), -1.0, 1.0)
-    # note: 3q/(2p) * 1/mp3 with p<0; guard p ~ 0
+    tri = disc <= 0.0  # (implies p <= 0)
+    # three-real-root case: trigonometric solution (safe-operand guards keep
+    # gradients finite in the unselected branch)
+    p_safe = jnp.where(p < 0.0, p, -1.0)
+    mp3 = jnp.sqrt(-p_safe / 3.0)
+    denom = 2.0 * p_safe * mp3
+    # epsilon inside the clip: arccos' diverges at +-1 and would inject inf
+    # into the backward pass; Newton polishing absorbs the ~1e-6 root shift
+    cos_arg = jnp.clip(3.0 * q / denom, -1.0 + 1e-12, 1.0 - 1e-12)
     cos_arg = jnp.where(jnp.abs(p) > 1e-30, cos_arg, 0.0)
     theta = jnp.arccos(cos_arg) / 3.0
     y_tri = 2.0 * mp3 * jnp.cos(theta)  # largest of the three roots
     # one-real-root case (disc > 0): Cardano
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    u_c = _cbrt(-q / 2.0 + sq)
-    v_c = _cbrt(-q / 2.0 - sq)
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    u_c = _cbrt(jnp.where(disc > 0.0, -q / 2.0 + sq, 1.0))
+    v_c = _cbrt(jnp.where(disc > 0.0, -q / 2.0 - sq, 1.0))
     y_car = u_c + v_c
-    w = jnp.where(disc > 0.0, y_car, y_tri)
+    w = jnp.where(tri, y_tri, y_car)
     return w - a2 / 3.0
 
 
@@ -244,29 +268,41 @@ def _quartic_roots(b, c, d, e):
     # resolvent cubic y^3 + 2P y^2 + (P^2-4R0) y - Q^2 = 0 (root y0 >= 0)
     y0 = _largest_real_cubic_root(2.0 * P, P * P - 4.0 * R0, -Q * Q)
     y0 = jnp.maximum(y0, 0.0)
-    u = jnp.sqrt(y0)
-    safe_u = jnp.abs(u) > 1e-12
+    safe_u = y0 > 1e-24
+    u = jnp.sqrt(jnp.where(safe_u, y0, 1.0))
+    u = jnp.where(safe_u, u, 0.0)
     qu = jnp.where(safe_u, Q / jnp.where(safe_u, 2.0 * u, 1.0), 0.0)
     A = (P + y0) / 2.0 - qu
     B = (P + y0) / 2.0 + qu
     # biquadratic fallback when Q ~ 0 (u ~ 0): s^2 = (-P +- sqrt(P^2-4R0))/2
-    db = jnp.maximum(P * P - 4.0 * R0, 0.0)
-    A_bq = (P + jnp.sqrt(db)) / 2.0
-    B_bq = (P - jnp.sqrt(db)) / 2.0
+    db = P * P - 4.0 * R0
+    sq_db = jnp.sqrt(jnp.where(db > 0.0, db, 1.0))
+    sq_db = jnp.where(db > 0.0, sq_db, 0.0)
+    A_bq = (P + sq_db) / 2.0
+    B_bq = (P - sq_db) / 2.0
     A = jnp.where(safe_u, A, A_bq)
     B = jnp.where(safe_u, B, B_bq)
     # factors: (s^2 + u s + A)(s^2 - u s + B)
     s1a, s1b = _solve_quadratic(jnp.ones_like(u), u, A)
     s2a, s2b = _solve_quadratic(jnp.ones_like(u), -u, B)
-    roots = jnp.stack([s1a, s1b, s2a, s2b], axis=-1)
-    return roots - (b / 4.0)[..., None]
+    shift = b / 4.0
+    return [s1a - shift, s1b - shift, s2a - shift, s2b - shift]
+
+
+def _sphere_seeds(surface, p, d):
+    """Roots of the osculating sphere |q| = R + r through the mirror patch at
+    (0,0,-R-r): cheap, robust Newton seeds for realistic toroidal mirrors."""
+    R, r = surface.major_radius, surface.minor_radius
+    b_s = 2.0 * jnp.sum(d * p, axis=-1)
+    c_s = jnp.sum(p * p, axis=-1) - (R + r) ** 2
+    s1, s2 = _solve_quadratic(jnp.ones_like(b_s), b_s, c_s)
+    return [s1, s2]
 
 
 def _toroid_seeds(surface, p, d):
     """Candidate t seeds for the toroid: 4 Ferrari roots of the exact quartic
     (coefficients as in ART/ModuleMirror.py:443-466) + the 2 roots of the
-    osculating sphere of radius R+r (robust float32 fallback near the mirror
-    patch at (0,0,-R-r))."""
+    osculating sphere of radius R+r."""
     R, r = surface.major_radius, surface.minor_radius
     x, z = p[..., 0], p[..., 2]
     ux, uz = d[..., 0], d[..., 2]
@@ -279,13 +315,15 @@ def _toroid_seeds(surface, p, d):
     c = K * K + 2.0 * L - G
     dd = 2.0 * K * L - H
     e = L * L - II
-    quartic = _quartic_roots(b, c, dd, e)
-    # osculating sphere |q| = R + r
-    a_s = jnp.ones_like(K)
-    b_s = 2.0 * jnp.sum(d * p, axis=-1)
-    c_s = jnp.sum(p * p, axis=-1) - (R + r) ** 2
-    s1, s2 = _solve_quadratic(a_s, b_s, c_s)
-    return jnp.concatenate([quartic, jnp.stack([s1, s2], axis=-1)], axis=-1)
+    # nondimensionalize t -> t/R before solving: raw coefficients reach
+    # ~1e12 (mm^4) and their resolvent-cubic discriminant ~(coeff)^3 would
+    # overflow float32; scaled to O(1) the whole solve is f32-safe
+    s = R
+    quartic = _quartic_roots(b / s, c / s**2, dd / s**3, e / s**4)
+    # sanitize *before* rescaling: nan lanes (complex root pairs) would leak
+    # into s's cotangent through 0*nan in the product rule
+    quartic = [jnp.where(jnp.isfinite(t), t, -1.0) * s for t in quartic]
+    return quartic + _sphere_seeds(surface, p, d)
 
 
 # ---------------------------------------------------------------------------
@@ -298,23 +336,19 @@ def support_offset_xy(surface):
     tests (x,y) relative to this point (reference tests Intersect minus
     get_centre() for parabola/ellipsoid, Intersect directly otherwise —
     ART/ModuleMirror.py:344, :678-680)."""
-    if isinstance(surface, Parabola):
-        return surface.center_x, jnp.zeros_like(surface.center_x)
-    if isinstance(surface, Ellipsoid):
-        return surface.center_x, jnp.zeros_like(surface.center_x)
-    zero = jnp.asarray(0.0)
-    return zero, zero
+    if isinstance(surface, (Parabola, Ellipsoid)):
+        return surface.center_x, 0.0
+    return 0.0, 0.0
 
 
-def _branch_ok(surface, q):
+def _branch_ok_z(surface, z):
     """Physical-branch filter for candidate hits (reference's z<0 / z<-R
     conditions in each _get_intersection)."""
-    z = q[..., 2]
     if isinstance(surface, (Sphere, Cylinder, Ellipsoid)):
         return z < 0.0
     if isinstance(surface, Toroid):
         return z < -surface.major_radius
-    return jnp.ones(q.shape[:-1], dtype=bool)
+    return jnp.ones(z.shape, dtype=bool)
 
 
 def intersect(surface, support, p, d, t_eps=T_EPS, tol=HIT_TOL):
@@ -324,39 +358,89 @@ def intersect(surface, support, p, d, t_eps=T_EPS, tol=HIT_TOL):
     Returns ``(t, hit)`` where ``hit`` is False for rays that miss (wrong
     branch, outside support, behind the ray, or no real root).
     """
+    t, hit = intersect_c(
+        surface, support,
+        (p[..., 0], p[..., 1], p[..., 2]),
+        (d[..., 0], d[..., 1], d[..., 2]),
+        t_eps=t_eps, tol=tol,
+    )
+    return t, hit
+
+
+def intersect_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
+    """Component-form intersection: ``q = (x, y, z)``, ``u = (ux, uy, uz)``
+    as (N,) arrays (full-lane layout on TPU). Returns (t, hit)."""
+    qx, qy, qz = q
+    ux, uy, uz = u
+
     if isinstance(surface, Plane):
-        uz = d[..., 2]
-        t = -p[..., 2] / jnp.where(jnp.abs(uz) > 1e-30, uz, jnp.inf)
-        q = p + t[..., None] * d
+        t = -qz / jnp.where(jnp.abs(uz) > 1e-30, uz, jnp.inf)
         ox, oy = support_offset_xy(surface)
-        on_sup = sup.include(support, q[..., 0] - ox, q[..., 1] - oy)
+        on_sup = sup.include(support, qx + t * ux - ox, qy + t * uy - oy)
         return t, (t > t_eps) & on_sup
 
+    p3 = jnp.stack([qx, qy, qz], axis=-1)
+    d3 = jnp.stack([ux, uy, uz], axis=-1)
     if isinstance(surface, Toroid):
-        cand = _toroid_seeds(surface, p, d)
-        iters = _NEWTON_ITERS_TOROID
+        # float32 = production TPU mode: the osculating-sphere seed + Newton
+        # reaches the patch root without the transcendental-heavy Ferrari
+        # solve (arccos/cbrt per ray); float64 = parity mode: all 4 exact
+        # quartic roots, matching the reference's np.roots-based selection
+        # even for exotic geometries. Override with ART_TPU_TOROID_EXACT=1.
+        fast = qx.dtype == jnp.float32 and not _TOROID_EXACT
+        if fast:
+            cands = _sphere_seeds(surface, p3, d3)
+            iters = _NEWTON_ITERS_TOROID_FAST
+        else:
+            cands = _toroid_seeds(surface, p3, d3)
+            iters = _NEWTON_ITERS_TOROID
     else:
-        a, b, c = _quadratic_coeffs(surface, p, d)
+        a, b, c = _quadratic_coeffs(surface, p3, d3)
         t1, t2 = _solve_quadratic(a, b, c)
-        cand = jnp.stack([t1, t2], axis=-1)
+        cands = [t1, t2]
         iters = _NEWTON_ITERS
 
-    cand = jnp.where(jnp.isfinite(cand), cand, -1.0)
-    pc = p[..., None, :]
-    dc = d[..., None, :]
-    tpol, g_abs = _newton_polish(surface, pc, dc, cand, iters)
-    q = pc + tpol[..., None] * dc
+    cands = [jnp.where(jnp.isfinite(t), t, -1.0) for t in cands]
+    polished = _polish_candidates(surface, p3, d3, cands, iters)
     ox, oy = support_offset_xy(surface)
-    valid = (
-        (tpol > t_eps)
-        & (g_abs < tol)
-        & _branch_ok(surface, q)
-        & sup.include(support, q[..., 0] - ox, q[..., 1] - oy)
-    )
-    t_masked = jnp.where(valid, tpol, jnp.inf)
-    t_best = jnp.min(t_masked, axis=-1)
+    t_best = jnp.full(qx.shape, jnp.inf, dtype=qx.dtype)
+    for t, g_abs, (x, y, z) in polished:
+        valid = (
+            (t > t_eps)
+            & (g_abs < tol)
+            & _branch_ok_z(surface, z)
+            & sup.include(support, x - ox, y - oy)
+        )
+        t_best = jnp.minimum(t_best, jnp.where(valid, t, jnp.inf))
     hit = jnp.isfinite(t_best)
     return jnp.where(hit, t_best, 0.0), hit
+
+
+def normal_c(surface, x, y, z):
+    """Unit 'up' normal in component form; returns (nx, ny, nz) as (N,)."""
+    one = jnp.ones_like(x)
+    if isinstance(surface, Plane):
+        zero = jnp.zeros_like(x)
+        return zero, zero, one
+    if isinstance(surface, Sphere):
+        nx, ny, nz = -x, -y, -z
+    elif isinstance(surface, Cylinder):
+        nx, ny, nz = jnp.zeros_like(x), -y, -z
+    elif isinstance(surface, Parabola):
+        nx, ny, nz = -x, -y, jnp.broadcast_to(surface.p, x.shape)
+    elif isinstance(surface, Ellipsoid):
+        inv_a2 = 1.0 / (surface.a * surface.a)
+        inv_b2 = 1.0 / (surface.b * surface.b)
+        nx, ny, nz = -x * inv_a2, -y * inv_b2, -z * inv_b2
+    elif isinstance(surface, Toroid):
+        R = surface.major_radius
+        inv_rho = jax.lax.rsqrt(jnp.maximum(x * x + z * z, 1e-30))
+        w = 1.0 - R * inv_rho
+        nx, ny, nz = -w * x, -y, -w * z
+    else:
+        raise TypeError(f"unknown surface {type(surface)}")
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
+    return nx * inv, ny * inv, nz * inv
 
 
 def normal_at(surface, q):
@@ -378,8 +462,8 @@ def normal_at(surface, q):
     elif isinstance(surface, Toroid):
         # grad of ((rho-R)^2 + y^2 - r^2), rho = sqrt(x^2+z^2); normal = -grad
         R = surface.major_radius
-        rho = jnp.hypot(x, z)
-        w = (rho - R) / jnp.maximum(rho, 1e-30)
+        inv_rho = jax.lax.rsqrt(jnp.maximum(x * x + z * z, 1e-30))
+        w = 1.0 - R * inv_rho
         n = jnp.stack([-w * x, -y, -w * z], axis=-1)
     else:
         raise TypeError(f"unknown surface {type(surface)}")

@@ -27,7 +27,9 @@ from . import supports as sup
 from . import surfaces as srf
 from .bundle import RayBundle
 from .defects import defect_offset, defect_slopes
-from .geometry import angle_between, kahan_add, reflect
+import jax
+
+from .geometry import kahan_add
 from .precision import T_EPS
 
 
@@ -56,98 +58,179 @@ class MaskElement(NamedTuple):
     support: NamedTuple
 
 
-def _to_local(element, p, d):
-    rel = p - element.position
-    q = rel @ element.rot.T
-    u = d @ element.rot.T
+class TraceState(NamedTuple):
+    """Pure component-form ray state: every leaf is an identically-shaped
+    array (typically (N,) under XLA, a 2D tile inside the Pallas kernel), so
+    each TPU vector lane carries one ray."""
+
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    dz: jnp.ndarray
+    opl: jnp.ndarray
+    opl_c: jnp.ndarray
+    alive: jnp.ndarray  # bool
+    incidence: jnp.ndarray
+
+
+def _unpack(v):
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def bundle_to_state(b: RayBundle) -> TraceState:
+    px, py, pz = _unpack(b.p)
+    dx, dy, dz = _unpack(b.d)
+    return TraceState(px, py, pz, dx, dy, dz, b.opl, b.opl_c, b.alive, b.incidence)
+
+
+def state_to_bundle(s: TraceState, template: RayBundle) -> RayBundle:
+    return RayBundle(
+        p=jnp.stack([s.px, s.py, s.pz], axis=-1),
+        d=jnp.stack([s.dx, s.dy, s.dz], axis=-1),
+        opl=s.opl,
+        opl_c=s.opl_c,
+        alive=s.alive,
+        intensity=template.intensity,
+        incidence=s.incidence,
+        wavelength=template.wavelength,
+    )
+
+
+def _to_local_c(element, s: TraceState):
+    """Lab->optic frame transform in component form. ``element.rot`` etc. may
+    be jnp arrays or nested tuples of python floats (Pallas constant baking);
+    both support ``rot[i][j]`` indexing."""
+    R = element.rot
+    pos = element.position
+    rx, ry, rz = s.px - pos[0], s.py - pos[1], s.pz - pos[2]
+    qx = R[0][0] * rx + R[0][1] * ry + R[0][2] * rz
+    qy = R[1][0] * rx + R[1][1] * ry + R[1][2] * rz
+    qz = R[2][0] * rx + R[2][1] * ry + R[2][2] * rz
+    ux = R[0][0] * s.dx + R[0][1] * s.dy + R[0][2] * s.dz
+    uy = R[1][0] * s.dx + R[1][1] * s.dy + R[1][2] * s.dz
+    uz = R[2][0] * s.dx + R[2][1] * s.dy + R[2][2] * s.dz
     if isinstance(element, MirrorElement):
-        q = q + element.centre
-    return q, u
+        cen = element.centre
+        qx, qy, qz = qx + cen[0], qy + cen[1], qz + cen[2]
+    return (qx, qy, qz), (ux, uy, uz)
 
 
-def _to_lab(element, q, u):
+def _to_lab_c(element, q, u):
+    R = element.rot
+    pos = element.position
+    qx, qy, qz = q
+    ux, uy, uz = u
     if isinstance(element, MirrorElement):
-        q = q - element.centre
-    return q @ element.rot + element.position, u @ element.rot
+        cen = element.centre
+        qx, qy, qz = qx - cen[0], qy - cen[1], qz - cen[2]
+    px = R[0][0] * qx + R[1][0] * qy + R[2][0] * qz + pos[0]
+    py = R[0][1] * qx + R[1][1] * qy + R[2][1] * qz + pos[1]
+    pz = R[0][2] * qx + R[1][2] * qy + R[2][2] * qz + pos[2]
+    dx = R[0][0] * ux + R[1][0] * uy + R[2][0] * uz
+    dy = R[0][1] * ux + R[1][1] * uy + R[2][1] * uz
+    dz = R[0][2] * ux + R[1][2] * uy + R[2][2] * uz
+    return (px, py, pz), (dx, dy, dz)
 
 
-def _mirror_step(element: MirrorElement, b: RayBundle, ignore_defects: bool) -> RayBundle:
-    q, u = _to_local(element, b.p, b.d)
-    t, hit = srf.intersect(element.surface, element.support, q, u)
+def mirror_step_c(element: MirrorElement, s: TraceState, ignore_defects: bool) -> TraceState:
+    (qx, qy, qz), (ux, uy, uz) = _to_local_c(element, s)
+    t, hit = srf.intersect_c(element.surface, element.support, (qx, qy, qz), (ux, uy, uz))
 
     if element.defects:
         # shift the hit along the ray by the local height error
         # (ART/ModuleMirror.py:969-980)
-        qh0 = q + t[..., None] * u
-        n0 = srf.normal_at(element.surface, qh0)
-        rel = qh0 - element.centre
+        x0, y0, z0 = qx + t * ux, qy + t * uy, qz + t * uz
+        n0x, n0y, n0z = srf.normal_c(element.surface, x0, y0, z0)
+        cen = element.centre
         h = jnp.zeros_like(t)
         for defect in element.defects:
-            h = h + defect_offset(defect, rel[..., 0], rel[..., 1])
-        cos_alpha = jnp.clip(jnp.sum(-u * n0, axis=-1), 1e-6, None)
+            h = h + defect_offset(defect, x0 - cen[0], y0 - cen[1])
+        cos_alpha = jnp.clip(-(ux * n0x + uy * n0y + uz * n0z), 1e-6, None)
         t = t - h / cos_alpha
 
-    qh = q + t[..., None] * u
-    n = srf.normal_at(element.surface, qh)
+    x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
+    nx, ny, nz = srf.normal_c(element.surface, x, y, z)
 
     if element.defects and not ignore_defects:
         # compose base normal with defect slopes (ART/ModuleGeometry.py:394-407)
-        rel = qh - element.centre
-        gx = -n[..., 0] / n[..., 2]
-        gy = -n[..., 1] / n[..., 2]
+        cen = element.centre
+        gx = -nx / nz
+        gy = -ny / nz
         for defect in element.defects:
-            dgx, dgy = defect_slopes(defect, rel[..., 0], rel[..., 1])
+            dgx, dgy = defect_slopes(defect, x - cen[0], y - cen[1])
             gx = gx + dgx
             gy = gy + dgy
-        n = jnp.stack([-gx, -gy, jnp.ones_like(gx)], axis=-1)
-        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+        nx, ny, nz = -gx * inv, -gy * inv, inv
 
-    incidence = angle_between(-u, n)
-    u_out = reflect(u, n)
+    dn = ux * nx + uy * ny + uz * nz
+    # incidence angle between -u and n; both unit vectors, so arccos(-u.n)
+    # (the reference's arctan2 form, ART/ModuleGeometry.py:40-44, only helps
+    # below micro-radian angles — irrelevant for this diagnostic output)
+    incidence = jnp.arccos(jnp.clip(-dn, -1.0, 1.0))
+    rx, ry, rz = ux - 2.0 * dn * nx, uy - 2.0 * dn * ny, uz - 2.0 * dn * nz
 
-    upd = b.alive & hit
-    updv = upd[..., None]
-    p_lab, d_lab = _to_lab(element, qh, u_out)
-    opl, opl_c = kahan_add(b.opl, b.opl_c, jnp.where(upd, t, 0.0))
-    return RayBundle(
-        p=jnp.where(updv, p_lab, b.p),
-        d=jnp.where(updv, d_lab, b.d),
+    upd = s.alive & hit
+    (px, py, pz), (dx, dy, dz) = _to_lab_c(element, (x, y, z), (rx, ry, rz))
+    opl, opl_c = kahan_add(s.opl, s.opl_c, jnp.where(upd, t, 0.0))
+    return TraceState(
+        px=jnp.where(upd, px, s.px),
+        py=jnp.where(upd, py, s.py),
+        pz=jnp.where(upd, pz, s.pz),
+        dx=jnp.where(upd, dx, s.dx),
+        dy=jnp.where(upd, dy, s.dy),
+        dz=jnp.where(upd, dz, s.dz),
         opl=opl,
         opl_c=opl_c,
         alive=upd,
-        intensity=b.intensity,
-        incidence=jnp.where(upd, incidence, b.incidence),
-        wavelength=b.wavelength,
+        incidence=jnp.where(upd, incidence, s.incidence),
     )
 
 
-def _mask_step(element: MaskElement, b: RayBundle) -> RayBundle:
-    q, u = _to_local(element, b.p, b.d)
-    uz = u[..., 2]
-    t = -q[..., 2] / jnp.where(jnp.abs(uz) > 1e-30, uz, jnp.inf)
-    qh = q + t[..., None] * u
-    on_support = sup.include(element.support, qh[..., 0], qh[..., 1])
+def mask_step_c(element: MaskElement, s: TraceState) -> TraceState:
+    (qx, qy, qz), (ux, uy, uz) = _to_local_c(element, s)
+    t = -qz / jnp.where(jnp.abs(uz) > 1e-30, uz, jnp.inf)
+    x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
+    on_support = sup.include(element.support, x, y)
     # transmit rays that hit the plane *outside* the support
     # (ART/ModuleMask.py:51-61)
     transmitted = (t > T_EPS) & ~on_support
     # mask incidence uses +u (not -u): ART/ModuleMask.py:99
-    n = jnp.zeros_like(u).at[..., 2].set(1.0)
-    incidence = angle_between(u, n)
+    incidence = jnp.arccos(jnp.clip(uz, -1.0, 1.0))
 
-    upd = b.alive & transmitted
-    updv = upd[..., None]
-    p_lab, d_lab = _to_lab(element, qh, u)
-    opl, opl_c = kahan_add(b.opl, b.opl_c, jnp.where(upd, t, 0.0))
-    return RayBundle(
-        p=jnp.where(updv, p_lab, b.p),
-        d=b.d,
+    upd = s.alive & transmitted
+    (px, py, pz), _ = _to_lab_c(element, (x, y, z), (ux, uy, uz))
+    opl, opl_c = kahan_add(s.opl, s.opl_c, jnp.where(upd, t, 0.0))
+    return TraceState(
+        px=jnp.where(upd, px, s.px),
+        py=jnp.where(upd, py, s.py),
+        pz=jnp.where(upd, pz, s.pz),
+        dx=s.dx,
+        dy=s.dy,
+        dz=s.dz,
         opl=opl,
         opl_c=opl_c,
         alive=upd,
-        intensity=b.intensity,
-        incidence=jnp.where(upd, incidence, b.incidence),
-        wavelength=b.wavelength,
+        incidence=jnp.where(upd, incidence, s.incidence),
     )
+
+
+def state_step(element, s: TraceState, ignore_defects: bool = True) -> TraceState:
+    if isinstance(element, MirrorElement):
+        return mirror_step_c(element, s, ignore_defects)
+    if isinstance(element, MaskElement):
+        return mask_step_c(element, s)
+    raise TypeError(f"unknown element type {type(element)}")
+
+
+def _mirror_step(element: MirrorElement, b: RayBundle, ignore_defects: bool) -> RayBundle:
+    return state_to_bundle(mirror_step_c(element, bundle_to_state(b), ignore_defects), b)
+
+
+def _mask_step(element: MaskElement, b: RayBundle) -> RayBundle:
+    return state_to_bundle(mask_step_c(element, bundle_to_state(b)), b)
 
 
 def trace_step(element, bundle: RayBundle, ignore_defects: bool = True) -> RayBundle:
@@ -174,9 +257,9 @@ def trace(
     chain *structure* changes, not its parameters.
     """
     history = []
-    b = source
+    s = bundle_to_state(source)
     for element in elements:
-        b = trace_step(element, b, ignore_defects=ignore_defects)
+        s = state_step(element, s, ignore_defects=ignore_defects)
         if keep_history:
-            history.append(b)
-    return history if keep_history else b
+            history.append(state_to_bundle(s, source))
+    return history if keep_history else state_to_bundle(s, source)

@@ -1,0 +1,51 @@
+"""Fused Pallas kernel vs the XLA trace path: identical results by
+construction (same component step functions)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from attosecondraytracing_tpu.ops.pallas_trace import pallas_trace
+from attosecondraytracing_tpu.models import mirrors as mmirror, masks as mmask, supports as msupp
+from attosecondraytracing_tpu.models.placement import OEPlacement
+
+
+def _flagship(n):
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    mask = mmask.Mask(msupp.SupportRoundHole(20, 7, 0, 0))
+    props = {"Divergence": 25e-3, "SourceSize": 0, "Wavelength": 80e-6, "DeltaFT": 0.5, "NumberRays": n}
+    return OEPlacement(props, [mask, tor, tor], [400, 100, 500], [0, inc, -inc], [0, 0, 0])
+
+
+def _cast32(b):
+    import jax
+    return jax.tree.map(
+        lambda x: np.asarray(x).astype(np.float32) if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x),
+        b,
+    )
+
+
+def test_pallas_matches_xla_trace():
+    chain = _flagship(1000)  # not a multiple of the tile size -> padding path
+    src32 = _cast32(chain.source_rays)
+    elements = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+    ref = chain.trace_final()  # f64 reference for sanity
+
+    from attosecondraytracing_tpu.ops.trace import trace
+    xla = trace(src32, elements, keep_history=False)
+    pal = pallas_trace(src32, elements)
+
+    np.testing.assert_array_equal(np.asarray(pal.alive), np.asarray(xla.alive))
+    a = np.asarray(xla.alive)
+    # float32 envelope: compiler reassociation shifts grazing-incidence hits
+    # by a few ulps of t (~1e3 mm), i.e. up to ~1e-2 mm at the worst rays
+    dp = np.abs(np.asarray(pal.p)[a] - np.asarray(xla.p)[a])
+    assert np.median(dp) < 1e-3
+    assert dp.max() < 5e-2
+    np.testing.assert_allclose(np.asarray(pal.opl)[a], np.asarray(xla.opl)[a], atol=0.1)
+    np.testing.assert_allclose(np.asarray(pal.incidence)[a], np.asarray(xla.incidence)[a], atol=1e-4)
+    # both agree with the float64 reference to the same envelope
+    assert (np.asarray(ref.alive) == a).mean() > 0.99
+    dref = np.abs(np.asarray(pal.p)[a] - np.asarray(ref.p)[a])
+    assert np.median(dref) < 1e-3 and dref.max() < 5e-2
