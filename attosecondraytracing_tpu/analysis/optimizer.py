@@ -113,7 +113,9 @@ def FindOptimalDistance(
         opt_spot = float(spots[ind]) if opt_for in ("intensity", "spotsize") else np.nan
         opt_duration = float(durations[ind]) if opt_for in ("intensity", "duration") else np.nan
 
-    det.shiftByDistance(-base_shift)  # shift convention: centre - shift*normal
+    # candidate planes were centre - shift*normal, which is exactly
+    # Detector.shiftByDistance(shift)
+    det.shiftByDistance(base_shift)
     if not (
         first_distance - amplitude + 10**-Precision
         < det.get_distance()

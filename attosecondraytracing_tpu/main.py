@@ -266,8 +266,13 @@ def run_config_file(path: str):
     return main(chains, sp, do, ao, save_file_name=os.path.splitext(path)[0])
 
 
-if __name__ == "__main__":
-    if len(sys.argv) < 2:
+def cli(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 1:
         print("Usage: python -m attosecondraytracing_tpu.main CONFIG_FILE")
         sys.exit(1)
-    run_config_file(sys.argv[1])
+    run_config_file(argv[0])
+
+
+if __name__ == "__main__":
+    cli()

@@ -75,6 +75,13 @@ class TraceState(NamedTuple):
     incidence: jnp.ndarray
 
 
+def _acos(x):
+    """arccos via atan2 (Mosaic/Pallas has no acos primitive; this form is
+    accurate over the full domain and lowers everywhere)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    return jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
 def _unpack(v):
     return v[..., 0], v[..., 1], v[..., 2]
 
@@ -169,7 +176,7 @@ def mirror_step_c(element: MirrorElement, s: TraceState, ignore_defects: bool) -
     # incidence angle between -u and n; both unit vectors, so arccos(-u.n)
     # (the reference's arctan2 form, ART/ModuleGeometry.py:40-44, only helps
     # below micro-radian angles — irrelevant for this diagnostic output)
-    incidence = jnp.arccos(jnp.clip(-dn, -1.0, 1.0))
+    incidence = _acos(-dn)
     rx, ry, rz = ux - 2.0 * dn * nx, uy - 2.0 * dn * ny, uz - 2.0 * dn * nz
 
     upd = s.alive & hit
@@ -198,7 +205,7 @@ def mask_step_c(element: MaskElement, s: TraceState) -> TraceState:
     # (ART/ModuleMask.py:51-61)
     transmitted = (t > T_EPS) & ~on_support
     # mask incidence uses +u (not -u): ART/ModuleMask.py:99
-    incidence = jnp.arccos(jnp.clip(uz, -1.0, 1.0))
+    incidence = _acos(uz)
 
     upd = s.alive & transmitted
     (px, py, pz), _ = _to_lab_c(element, (x, y, z), (ux, uy, uz))

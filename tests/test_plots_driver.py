@@ -1,0 +1,105 @@
+"""Smoke tests for the plot set (headless Agg) and the driver pipeline."""
+
+import matplotlib
+
+matplotlib.use("Agg", force=True)
+
+import numpy as np
+import matplotlib.pyplot as plt
+
+from attosecondraytracing_tpu.analysis import plots
+from attosecondraytracing_tpu.main import complete_defaults, main, run_ART, setup_detector
+from attosecondraytracing_tpu.models import mirrors as mmirror
+from attosecondraytracing_tpu.models import supports as msupp
+from attosecondraytracing_tpu.models.placement import OEPlacement
+
+
+def _chain(n=150):
+    parabola = mmirror.MirrorParabolic(100, 90, msupp.SupportRoundHole(30, 5, 10, 5))
+    props = {"Divergence": 0, "SourceSize": 40, "Wavelength": 800e-6, "DeltaFT": 2.7, "NumberRays": n}
+    return OEPlacement(props, [parabola], [200], [0.0])
+
+
+def test_all_plot_kinds_render():
+    chain = _chain()
+    bundle = chain.get_output_rays()[-1]
+    det = setup_detector(chain, {**_det_opts(), "DistanceDetector": 100}, bundle)
+    figs = [
+        plots.SpotDiagram(bundle, det, DrawAiryAndFourier=True),
+        plots.SpotDiagram(bundle, det, DrawAiryAndFourier=True, ColorCoded="Delay"),
+        plots.SpotDiagram(bundle, det, ColorCoded="Intensity"),
+        plots.DelayGraph(bundle, det, 2.7, DrawAiryAndFourier=True),
+        plots.DelayGraph(bundle, det, 2.7, ColorCoded="Incidence"),
+        plots.MirrorProjection(chain, -1, det, "Delay"),
+        plots.MirrorProjection(chain, -1, None, "Incidence"),
+        plots.RayRenderGraph(chain, maxRays=40, OEpoints=300),
+        chain.quickshow(),
+    ]
+    for fig in figs:
+        assert fig is not None
+    plt.close("all")
+
+
+def test_spot_diagram_key_navigation():
+    chain = _chain()
+    bundle = chain.get_output_rays()[-1]
+    det = setup_detector(chain, {**_det_opts(), "DistanceDetector": 100}, bundle)
+    fig = plots.SpotDiagram(bundle, det, DrawAiryAndFourier=True, ColorCoded="Delay")
+
+    from matplotlib.backend_bases import KeyEvent
+
+    # simulate the interactive detector shift (reference arrow-key handler)
+    assert fig.canvas.callbacks.callbacks.get("key_press_event")
+    for key in ["right", "right", "left", "up"]:
+        KeyEvent("key_press_event", fig.canvas, key)._process()
+    plt.close("all")
+
+
+def _det_opts():
+    return {
+        "ReflectionNumber": -1,
+        "ManualDetector": False,
+        "DetectorCentre": None,
+        "DetectorNormal": None,
+        "DistanceDetector": None,
+        "AutoDetectorDistance": False,
+        "OptFor": "intensity",
+    }
+
+
+def test_driver_main_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    chain = _chain(100)
+    source_props = {"Divergence": 0, "SourceSize": 40, "Wavelength": 800e-6, "DeltaFT": 2.7, "NumberRays": 100}
+    det_opts = {"DistanceDetector": 100.0, "AutoDetectorDistance": True}
+    analysis = {"verbose": False, "save_results": True}
+    kept = main(chain, source_props, det_opts, analysis, save_file_name=str(tmp_path / "out"))
+    assert len(kept["OpticalChain"]) == 1
+    assert kept["ETransmission"][0] > 80
+    assert kept["SpotSizeSD"][0] < 0.1
+    assert (tmp_path / "out_0.xz").exists()
+
+
+def test_driver_manual_detector():
+    chain = _chain(80)
+    bundle = chain.get_output_rays()[-1]
+    import numpy as np
+
+    centre = np.asarray(chain.optical_elements[0].position) + np.array([0, 0, -100.0])
+    det = setup_detector(
+        chain,
+        {**_det_opts(), "ManualDetector": True, "DetectorCentre": centre, "DetectorNormal": np.array([0, 0, 1.0])},
+    )
+    assert det.centre is not None
+
+
+def test_run_art_loop_variable_output(capsys):
+    chain = _chain(60)
+    chain.loop_variable_name = "test var"
+    chain.loop_variable_value = 1.5
+    sp, do, ao = complete_defaults(
+        {"NumberRays": 60}, {"DistanceDetector": 100.0}, {"verbose": True, "save_results": False}
+    )
+    run_ART(chain, sp, do, ao, loop=True)
+    out = capsys.readouterr().out
+    assert "test var" in out and "energy transmission" in out

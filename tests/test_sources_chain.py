@@ -1,0 +1,162 @@
+"""Sources, chain misalignment methods, loop lists, caching, persistence."""
+
+import os
+
+import numpy as np
+import pytest
+
+from attosecondraytracing_tpu.models import mirrors as mmirror
+from attosecondraytracing_tpu.models import sources as msource
+from attosecondraytracing_tpu.models import supports as msupp
+from attosecondraytracing_tpu.models.placement import OEPlacement
+from attosecondraytracing_tpu.ops.host_geometry import vogel_spiral
+from attosecondraytracing_tpu.utils.io import load_compressed, save_compressed
+
+
+def test_vogel_spiral_layout():
+    pts = vogel_spiral(1000, 25.0)
+    assert pts.shape == (1000, 2)
+    r = np.linalg.norm(pts, axis=1)
+    assert r[0] == 0.0
+    assert r.max() <= 25.0 * (1 + 1e-12)
+    # golden-angle spiral: radius grows like sqrt(k/N)*R
+    k = np.arange(1000)
+    np.testing.assert_allclose(r, np.sqrt(k / 1000) * 25.0, atol=1e-9)
+
+
+def test_point_source_divergence_and_gaussian():
+    b = msource.PointSource(np.zeros(3), np.array([1.0, 0, 0]), 10e-3, 500, 50e-6)
+    assert b.n_rays == 500
+    d = np.asarray(b.d)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-12)
+    ang = np.arccos(np.clip(d @ np.array([1.0, 0, 0]), -1, 1))
+    assert abs(ang.max() - 10e-3) < 2e-4  # cone half-angle
+    g = msource.ApplyGaussianIntensityToRayList(b, 1 / np.e**2)
+    inten = np.asarray(g.intensity)
+    # the profile references the *mean* direction (reference semantics), so
+    # the central ray is not exactly at the profile peak
+    assert inten.max() == pytest.approx(1.0, abs=1e-4)
+    assert inten.min() == pytest.approx(1 / np.e**2, rel=1e-2)  # edge intensity
+
+
+def test_plane_wave_sources():
+    b = msource.PlaneWaveDisk(np.array([1.0, 2, 3]), np.array([0, 1.0, 0]), 10.0, 777, 50e-6)
+    assert b.n_rays == 777  # the reference emits NbRays-1 (quirk fixed)
+    d = np.asarray(b.d)
+    np.testing.assert_allclose(d, np.tile([0, 1.0, 0], (777, 1)), atol=1e-12)
+    sq = msource.PlaneWaveSquare(np.zeros(3), np.array([0, 0, 1.0]), 10.0, 100, 50e-6)
+    assert sq.n_rays == 100
+    p = np.asarray(sq.p)
+    assert abs(p[:, 0]).max() == pytest.approx(5.0)
+
+
+def test_extended_source_counts():
+    b = msource.ExtendedSource(np.zeros(3), np.array([1.0, 0, 0]), 0.5, 5e-3, 10000, 50e-6)
+    # reference heuristics: 30..NbRays/300 point sources x >=300 rays each
+    n_sources = min(max(30, int(250 * 0.5)), int(10000 / 300))
+    n_each = max(300, int(10000 / n_sources))
+    assert b.n_rays == n_sources * n_each
+
+
+def _simple_chain(n=200):
+    parabola = mmirror.MirrorParabolic(100, 90, msupp.SupportRound(12))
+    props = {"Divergence": 0, "SourceSize": 20, "Wavelength": 50e-6, "DeltaFT": 1, "NumberRays": n}
+    return OEPlacement(props, [parabola], [200], [0.0])
+
+
+def _grazing_chain(n=200):
+    """A chain with a non-normal-incidence mirror (for incidence-plane-relative
+    source moves)."""
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    mirror = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(300, 50))
+    props = {"Divergence": 15e-3, "SourceSize": 0, "Wavelength": 50e-6, "DeltaFT": 1, "NumberRays": n}
+    return OEPlacement(props, [mirror], [2 * focal], [inc])
+
+
+def test_retrace_caching():
+    chain = _simple_chain()
+    out1 = chain.get_output_rays()
+    out2 = chain.get_output_rays()
+    assert out1 is out2  # cached
+    chain.optical_elements[0].rotate_roll_by(0.01)
+    out3 = chain.get_output_rays()
+    assert out3 is not out2  # hash change -> retraced
+
+
+def test_source_tilt_and_shift():
+    chain = _grazing_chain()
+    p0 = np.asarray(chain.source_rays.p).copy()
+    chain.shift_source("vert", 1.5)
+    p1 = np.asarray(chain.source_rays.p)
+    assert np.allclose(np.linalg.norm(p1 - p0, axis=1), 1.5)
+    d0 = np.asarray(chain.source_rays.d).copy()
+    chain.tilt_source("in_plane", 0.1)
+    d1 = np.asarray(chain.source_rays.d)
+    ang = np.arccos(np.clip(np.sum(d0 * d1, axis=1), -1, 1))
+    # rays spread +-15 mrad around the central direction, so each direction
+    # changes by phi*sin(angle to axis) ~ phi*(1 - 1e-4)
+    np.testing.assert_allclose(ang, np.deg2rad(0.1), rtol=5e-4)
+
+
+def test_source_loop_list_and_oe_random_loop():
+    chain = _grazing_chain()
+    tilts = chain.get_source_loop_list("tilt_in_plane", [0.0, 0.05, 0.1])
+    assert len(tilts) == 3
+    assert tilts[1].loop_variable_value == 0.05
+    assert "in-plane" in tilts[1].loop_variable_name
+    rnd = chain.get_OE_random_loop_list(0.01, 0.1, 4, rng=np.random.default_rng(0))
+    assert len(rnd) == 4
+    # Monte-Carlo chains have perturbed elements
+    for c in rnd:
+        assert not np.allclose(c.optical_elements[0].normal, chain.optical_elements[0].normal)
+
+
+def test_save_load_roundtrip(tmp_path):
+    chain = _simple_chain(50)
+    out = chain.get_output_rays()[-1]
+    payload = {"chain": chain, "spot": 1.23, "p": np.asarray(out.p)}
+    fn = str(tmp_path / "kept")
+    save_compressed(payload, fn)
+    assert os.path.exists(fn + "_0.xz")
+    loaded = load_compressed(fn + "_0")
+    assert loaded["spot"] == 1.23
+    np.testing.assert_allclose(loaded["p"], np.asarray(out.p))
+    assert loaded["chain"].source_rays.n_rays == 50
+    # auto-numbering: second save gets _1
+    save_compressed(payload, fn)
+    assert os.path.exists(fn + "_1.xz")
+
+
+def test_detector_optimizer_finds_focus():
+    from attosecondraytracing_tpu.analysis.optimizer import FindOptimalDistance, optimal_shift_closed_form
+    from attosecondraytracing_tpu.models.detector import Detector
+    import jax.numpy as jnp
+
+    chain = _simple_chain(300)
+    out = chain.get_output_rays()[-1]
+    det = Detector(chain.optical_elements[0].position)
+    det.autoplace(out, 90.0)  # start 10 mm before the focus
+    opt_det, spot, duration = FindOptimalDistance(det, out, "spotsize", Amplitude=20.0, Precision=4)
+    assert abs(opt_det.get_distance() - 100.0) < 0.05
+    assert spot < 1e-5  # grid refinement bottoms out at ~2e-4 mm defocus
+    # closed-form focus finder agrees
+    s_opt, spot_cf = optimal_shift_closed_form(
+        out, jnp.asarray(det.centre), jnp.asarray(det.normal), jnp.asarray(det._plane_rotation())
+    )
+    assert abs(float(s_opt) - (opt_det.get_distance() - det.get_distance())) < 1e-3
+    assert float(spot_cf) < 1e-6
+
+
+def test_optfor_validation():
+    from attosecondraytracing_tpu.analysis.optimizer import FindOptimalDistance
+    from attosecondraytracing_tpu.models.detector import Detector
+
+    chain = _simple_chain(50)
+    out = chain.get_output_rays()[-1]
+    det = Detector(chain.optical_elements[0].position)
+    det.autoplace(out, 100.0)
+    with pytest.raises(NameError):
+        FindOptimalDistance(det, out, "bogus")
+    # 'size' (validated-but-unimplemented spelling in the reference) works here
+    FindOptimalDistance(det, out, "size", Amplitude=5.0, Precision=1)
