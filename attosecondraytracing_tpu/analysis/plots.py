@@ -221,8 +221,8 @@ def RayRenderGraph(
     cycle_ray_colors=False,
 ):
     """3D rendering of optics + traced rays
-    (ART/ModuleAnalysisAndPlots.py:616-673). Uses PyVista when available,
-    otherwise matplotlib 3D."""
+    (ART/ModuleAnalysisAndPlots.py:616-673). Uses PyVista when available
+    (same look as the reference), otherwise matplotlib 3D."""
     history = [to_host(chain.source_rays)] + [to_host(b) for b in chain.get_output_rays()]
     if EndDistance is None:
         EndDistance = float(
@@ -230,6 +230,13 @@ def RayRenderGraph(
         )
 
     segment_sets = _ray_segments(history, EndDistance, maxRays)
+
+    try:
+        import pyvista as pv
+    except ImportError:
+        pv = None
+    if pv is not None:
+        return _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colors)
     colors = generate_distinct_colors(len(segment_sets)) if cycle_ray_colors else [(0.7, 0, 0)] * len(segment_sets)
 
     fig = plt.figure(figsize=(12, 5))
@@ -249,6 +256,37 @@ def RayRenderGraph(
         pass
     _maybe_show()
     return fig
+
+
+def _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colors):
+    """PyVista scene (reference RayRenderGraph look,
+    ART/ModuleAnalysisAndPlots.py:616-673). Only reached when pyvista is
+    installed."""
+    import pyvista as pv
+
+    plotter = pv.Plotter(window_size=(1500, 500), off_screen=not _has_display())
+    plotter.set_background("white")
+    colors = (
+        generate_distinct_colors(len(segment_sets)) if cycle_ray_colors else [(0.7, 0, 0)] * len(segment_sets)
+    )
+    for segs, color in zip(segment_sets, colors):
+        if not segs:
+            continue
+        pts = np.concatenate([np.stack([a, b]) for a, b in segs], axis=0)
+        plotter.add_mesh(pv.line_segments_from_points(pts), color=color[:3])
+    for element in chain.optical_elements:
+        pts = _element_points_lab(element, OEpoints)
+        plotter.add_mesh(
+            pv.PolyData(pts), point_size=scale_spheres, render_points_as_spheres=True
+        )
+    plotter.show(auto_close=False)
+    return plotter
+
+
+def _has_display():
+    import os
+
+    return bool(os.environ.get("DISPLAY"))
 
 
 def _ray_segments(history, end_distance, max_rays):

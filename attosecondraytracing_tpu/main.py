@@ -178,12 +178,23 @@ def make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, Analy
             )
 
 
-def run_ART(chain: OpticalChain, SourceProperties, DetectorOptions, AnalysisOptions, loop=False):
+def run_ART(
+    chain: OpticalChain,
+    SourceProperties,
+    DetectorOptions,
+    AnalysisOptions,
+    loop=False,
+    precomputed_bundle: RayBundle | None = None,
+):
     """Trace one chain, set up / optimize its detector, summarize, plot
-    (ARTmain.py:248-300)."""
+    (ARTmain.py:248-300). ``precomputed_bundle`` short-circuits the trace when
+    the scan was evaluated batched (see :func:`_batched_final_bundles`)."""
     niceline = "_" * 99 + "\n"
-    output_rays = chain.get_output_rays()
-    bundle = output_rays[DetectorOptions["ReflectionNumber"]]
+    if precomputed_bundle is not None:
+        bundle = precomputed_bundle
+    else:
+        output_rays = chain.get_output_rays()
+        bundle = output_rays[DetectorOptions["ReflectionNumber"]]
 
     etransmission = float(stats.energy_transmission(chain.source_rays, bundle))
     if AnalysisOptions["verbose"]:
@@ -239,9 +250,20 @@ def main(OpticalChainList, SourceProperties, DetectorOptions, AnalysisOptions, s
     else:
         loop = True
 
+    # TPU-native fast path for parameter scans: evaluate the whole chain list
+    # as one vmapped trace (replaces the reference's serial loop,
+    # ARTmain.py:326-332) when the chains share structure and only the final
+    # bundle is analyzed
+    bundles = None
+    if loop and DetectorOptions["ReflectionNumber"] in (-1, len(OpticalChainList[0].optical_elements) - 1):
+        bundles = _batched_final_bundles(OpticalChainList)
+
     for i, chain in enumerate(OpticalChainList):
         print(f"Optical Chain {i}/{len(OpticalChainList)} ", end="", flush=True)
-        values = run_ART(chain, SourceProperties, DetectorOptions, AnalysisOptions, loop)
+        values = run_ART(
+            chain, SourceProperties, DetectorOptions, AnalysisOptions, loop,
+            precomputed_bundle=None if bundles is None else bundles[i],
+        )
         for name, value in zip(keeper_names, values):
             kept_data[name].append(value)
 
@@ -251,6 +273,21 @@ def main(OpticalChainList, SourceProperties, DetectorOptions, AnalysisOptions, s
         log.clear_line()
 
     return kept_data
+
+
+def _batched_final_bundles(chains):
+    """Evaluate a structurally-uniform chain scan as ONE vmapped device trace;
+    returns per-chain final bundles, or None if the scan cannot be batched."""
+    import jax
+
+    from .parallel.mesh import stack_chains, trace_scan
+
+    try:
+        stacked_elements, stacked_sources = stack_chains(chains)
+        outs = trace_scan(stacked_sources, stacked_elements)
+    except Exception:
+        return None
+    return [jax.tree.map(lambda x, i=i: x[i], outs) for i in range(len(chains))]
 
 
 def run_config_file(path: str):

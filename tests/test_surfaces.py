@@ -136,3 +136,37 @@ def test_support_inclusion_vectorized():
     # (10,5) is the hole centre; (31,0) is outside the disk; (10,9) is 4 mm
     # from the hole centre, i.e. inside the 5 mm hole
     assert list(res) == [True, False, True, False, False]
+
+
+def test_float32_delay_noise_floor():
+    """The float32 production trace stays within a ~0.2 fs delay noise floor
+    and sub-um position noise of the float64 reference (README precision
+    model; regression gate for future kernel optimizations)."""
+    import jax
+    from attosecondraytracing_tpu.models.placement import OEPlacement
+    from attosecondraytracing_tpu.models.detector import Detector
+    from attosecondraytracing_tpu.ops.trace import trace as trace_fn
+
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(300, 50))
+    props = {"Divergence": 15e-3, "SourceSize": 0, "Wavelength": 50e-6, "DeltaFT": 1, "NumberRays": 2000}
+    chain = OEPlacement(props, [tor], [2 * focal], [inc])
+    out64 = chain.get_output_rays()[-1]
+    det = Detector(chain.optical_elements[0].position)
+    det.autoplace(out64, 2 * focal)
+
+    src32 = jax.tree.map(
+        lambda x: np.asarray(x).astype(np.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else np.asarray(x),
+        chain.source_rays,
+    )
+    els32 = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+    out32 = trace_fn(src32, els32, keep_history=False)
+    a = np.asarray(out64.alive) & np.asarray(out32.alive)
+    dl64 = np.asarray(det.get_Delays(out64))[a]
+    dl32 = np.asarray(det.get_Delays(out32))[a]
+    assert np.std(dl32 - dl64) < 0.4  # fs
+    dp = np.asarray(out32.p)[a] - np.asarray(out64.p)[a]
+    assert np.std(dp) < 2e-3  # mm
