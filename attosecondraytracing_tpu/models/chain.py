@@ -22,9 +22,21 @@ from ..ops.trace import trace
 from . import sources as msource
 
 
-@partial(jax.jit, static_argnames=("ignore_defects", "keep_history"))
-def _traced(source, elements, ignore_defects, keep_history):
+@partial(jax.jit, static_argnames=("meta", "ignore_defects", "keep_history"))
+def _traced_packed(source, flat_elements, meta, ignore_defects, keep_history):
+    # elements arrive as ONE flat array (single host->device transfer; a
+    # pytree of ~50 tiny leaves costs one tunnel RPC per leaf otherwise)
+    from ..ops.packing import unpack_tree
+
+    elements = unpack_tree(flat_elements, meta)
     return trace(source, elements, ignore_defects=ignore_defects, keep_history=keep_history)
+
+
+def _traced(source, elements, ignore_defects, keep_history):
+    from ..ops.packing import pack_tree
+
+    flat, meta = pack_tree(elements)
+    return _traced_packed(source, flat, meta, ignore_defects, keep_history)
 
 
 def _bundle_hash(bundle: RayBundle) -> int:

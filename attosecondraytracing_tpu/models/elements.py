@@ -126,11 +126,13 @@ class OpticalElement:
         return hg.frame_rotation(self._normal, self._majoraxis)
 
     def to_device(self, dtype=None):
-        """Compile to the device-side element NamedTuple for the trace."""
-        import jax.numpy as jnp
+        """Build the element NamedTuple consumed by the trace.
 
-        rot = jnp.asarray(self.frame_rotation(), dtype=dtype)
-        pos = jnp.asarray(self._position, dtype=dtype)
+        Leaves are host NumPy arrays on purpose: they are jit *inputs* (or get
+        packed into a single transfer, see ops/packing.py); creating them as
+        device arrays here would cost one tunnel RPC per tiny leaf."""
+        rot = np.asarray(self.frame_rotation(), dtype=dtype)
+        pos = np.asarray(self._position, dtype=dtype)
         optic = self._type
         if isinstance(optic, Mask):
             return MaskElement(rot=rot, position=pos, support=optic.support)
@@ -138,7 +140,7 @@ class OpticalElement:
         return MirrorElement(
             rot=rot,
             position=pos,
-            centre=jnp.asarray(optic.get_centre(), dtype=dtype),
+            centre=np.asarray(optic.get_centre(), dtype=dtype),
             surface=optic.surface_params(),
             support=optic.support,
             defects=defects,

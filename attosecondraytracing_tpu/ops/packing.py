@@ -1,0 +1,40 @@
+"""Pack a pytree of small parameter arrays into ONE flat array.
+
+Element descriptions are pytrees of ~50 tiny leaves (3-vectors, 3x3 poses,
+scalars). Passing them to a jitted function transfers each leaf separately;
+through a tunneled TPU every transfer costs an RPC round trip (observed
+0.05-4 s each under load), which dwarfs the math. Packing makes scene upload
+a single transfer; the unpack (slicing) happens inside jit and is free.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+
+
+def pack_tree(tree):
+    """Returns (flat float array, static meta) for a float-leaf pytree."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrs = [np.asarray(leaf) for leaf in leaves]
+    if arrs:
+        dtype = np.result_type(*[a.dtype for a in arrs])
+        flat = np.concatenate([a.ravel().astype(dtype) for a in arrs])
+    else:
+        flat = np.zeros((0,), dtype=np.float32)
+    meta = (treedef, tuple((a.shape, str(a.dtype)) for a in arrs))
+    return flat, meta
+
+
+def unpack_tree(flat, meta):
+    """Inverse of :func:`pack_tree`; usable on traced arrays inside jit."""
+    treedef, specs = meta
+    leaves = []
+    i = 0
+    for shape, dt in specs:
+        n = int(math.prod(shape))
+        leaves.append(flat[i : i + n].reshape(shape).astype(dt))
+        i += n
+    return jax.tree_util.tree_unflatten(treedef, leaves)

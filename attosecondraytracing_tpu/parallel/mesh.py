@@ -110,9 +110,9 @@ def stack_chains(chains):
     treedefs = {jax.tree_util.tree_structure(e) for e in element_lists}
     if len(treedefs) != 1:
         raise ValueError("chains have different element structures; cannot batch the scan")
-    stacked_elements = jax.tree.map(lambda *xs: jnp.stack(xs), *element_lists)
+    stacked_elements = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *element_lists)
     sources = [c.source_rays for c in chains]
-    stacked_sources = jax.tree.map(lambda *xs: jnp.stack(xs), *sources)
+    stacked_sources = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *sources)
     return stacked_elements, stacked_sources
 
 

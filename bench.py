@@ -28,12 +28,14 @@ def build_device(n_rays: int):
     """Flagship chain with the source bundle synthesized *on device*: the
     Vogel-spiral cone is pure math from arange, so there is no reason to
     build 400 MB on the host and push it through the (slow, shared) TPU
-    tunnel. Elements (a few KB) still come from the host placement."""
+    tunnel. Elements stay as host NumPy (they enter jit as baked constants or
+    one packed transfer; per-leaf device_put costs one tunnel RPC per tiny
+    leaf)."""
     from __graft_entry__ import _flagship_chain, _to_f32
     from attosecondraytracing_tpu.ops.bundle import RayBundle
 
     chain = _flagship_chain(16)  # placement/elements only
-    elements = jax.device_put(_to_f32(chain.device_elements()))
+    elements = _to_f32(chain.device_elements())
 
     divergence = 50e-3 / 2
     wavelength = 80e-6
@@ -82,33 +84,41 @@ def main(n_rays: int = 10_000_000, iters: int = 10, verbose: bool = True):
     from functools import partial
 
     @partial(jax.jit, static_argnames=("reps",))
-    def step(source, elements, reps: int):
-        # loop inside one dispatch to amortize per-dispatch RPC/launch
-        # overhead (~80 ms through the tunneled TPU); the per-iteration source
-        # perturbation defeats CSE across iterations. The consume keeps a
-        # data dependency on the traced bundle without adding reductions.
+    def step(source, reps: int):
+        # elements are closed over -> baked into the executable (no per-call
+        # transfers). Loop inside one dispatch to amortize per-dispatch
+        # RPC/launch overhead (~80 ms through the tunneled TPU); the
+        # per-iteration source perturbation defeats CSE across iterations.
+        # The consume touches p, opl and incidence so none of the physically
+        # meaningful outputs get dead-code-eliminated.
         def body(i, acc):
-            src = source._replace(opl=source.opl + i * 1e-30)
+            # perturb positions: they feed every intersection, so the loop
+            # body cannot be hoisted as loop-invariant
+            src = source._replace(p=source.p + i * 1e-30)
             out = trace(src, elements, keep_history=False)
-            return acc + out.p[0].sum() + out.opl[0]
+            # full reductions over every physical output: anything narrower
+            # lets XLA slice-push or dead-code the trace away
+            w = out.alive.astype(out.p.dtype) * out.intensity
+            return (acc + out.opl.sum() + out.incidence.sum() + out.d.sum()
+                    + out.p.sum() + w.sum())
 
         return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype=source.p.dtype))
 
     reps = 10
     # warmup/compile
     t0 = time.perf_counter()
-    r = step(source, elements, reps)
+    r = step(source, reps)
     jax.block_until_ready(r)
     if verbose:
         print(f"# compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    r = step(source, elements, reps)
+    r = step(source, reps)
     jax.block_until_ready(r)
 
     # best-of timing: the tunneled TPU shows large run-to-run interference
     dt = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        r = step(source, elements, reps)
+        r = step(source, reps)
         jax.block_until_ready(r)
         dt = min(dt, time.perf_counter() - t0)
     dt /= reps
