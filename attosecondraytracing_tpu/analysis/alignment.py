@@ -79,10 +79,15 @@ def focus_loss(
     det_normal,
     det_rot,
     duration_weight: float = 0.0,
+    survival_weight: float = 1.0,
     ignore_defects: bool = True,
 ):
     """Scalar figure of merit: spot variance (+ weighted duration variance) on
-    a fixed detector plane, for the chain perturbed by ``params``."""
+    a fixed detector plane, for the chain perturbed by ``params``.
+
+    ``survival_weight`` penalizes lost energy [mm^2 per unit transmission
+    loss]: a purely survivor-weighted variance would otherwise reward walking
+    the beam off the optics (zero survivors = zero variance)."""
     out = trace(source, apply_params(elements, params), ignore_defects=ignore_defects, keep_history=False)
     w = out.alive.astype(out.p.dtype) * out.intensity
     xy = stats.detector_points_2d(out, det_centre, det_normal, det_rot)
@@ -91,10 +96,13 @@ def focus_loss(
     if duration_weight:
         delays = stats.detector_delays(out, det_centre, det_normal)
         loss = loss + duration_weight * stats.std_scalar(delays, w) ** 2
+    if survival_weight:
+        transmission = jnp.sum(w) / jnp.maximum(jnp.sum(source.intensity), 1e-30)
+        loss = loss + survival_weight * (1.0 - transmission)
     return loss
 
 
-@partial(jax.jit, static_argnames=("duration_weight", "ignore_defects"))
+@partial(jax.jit, static_argnames=("duration_weight", "survival_weight", "ignore_defects"))
 def alignment_step(
     params: AlignmentParams,
     lr: float,
@@ -104,6 +112,7 @@ def alignment_step(
     det_normal,
     det_rot,
     duration_weight: float = 0.0,
+    survival_weight: float = 1.0,
     ignore_defects: bool = True,
 ):
     """One SGD step on the alignment parameters. Under a sharded ray axis the
@@ -111,7 +120,8 @@ def alignment_step(
     Returns (new_params, loss)."""
     loss, grads = jax.value_and_grad(focus_loss)(
         params, source, elements, det_centre, det_normal, det_rot,
-        duration_weight=duration_weight, ignore_defects=ignore_defects,
+        duration_weight=duration_weight, survival_weight=survival_weight,
+        ignore_defects=ignore_defects,
     )
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return new_params, loss
@@ -121,25 +131,45 @@ def gradient_align(
     chain,
     detector,
     iters: int = 100,
-    lr: float = 1e-4,
+    lr: float = 1e-5,
     duration_weight: float = 0.0,
+    survival_weight: float = 1.0,
     params: AlignmentParams | None = None,
     verbose: bool = False,
 ):
-    """Host convenience loop: gradient-descend the alignment of a chain onto
-    a fixed detector plane. Returns (params, loss history)."""
+    """Host convenience loop: Adam-descend the alignment of a chain onto a
+    fixed detector plane; returns (params, loss history).
+
+    Adam's per-parameter normalization matters here: spot-variance gradients
+    w.r.t. angles are ~f^2 larger than w.r.t. shifts, so plain SGD needs
+    per-axis learning rates. ``lr`` is therefore an angle/shift step scale
+    (radians/mm per iteration ceiling).
+    """
+    import optax
+
     elements = chain.device_elements()
     source = chain.source_rays
     det_rot = detector._plane_rotation()
     if params is None:
         params = zero_params(len(elements), dtype=jnp.asarray(source.p).dtype)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    centre = jnp.asarray(detector.centre)
+    normal = jnp.asarray(detector.normal)
+    rot = jnp.asarray(det_rot)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(focus_loss)(
+            params, source, elements, centre, normal, rot,
+            duration_weight=duration_weight, survival_weight=survival_weight,
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
     history = []
     for i in range(iters):
-        params, loss = alignment_step(
-            params, lr, source, elements,
-            jnp.asarray(detector.centre), jnp.asarray(detector.normal), jnp.asarray(det_rot),
-            duration_weight=duration_weight,
-        )
+        params, opt_state, loss = step(params, opt_state)
         history.append(float(loss))
         if verbose and (i % max(1, iters // 10) == 0):
             print(f"align iter {i}: loss {history[-1]:.6g}")
