@@ -151,11 +151,14 @@ def _residual_c(surface, x, y, z, ux, uy, uz):
     raise TypeError(f"unknown surface {type(surface)}")
 
 
-def _polish_candidates(surface, p, d, cands, iters):
+def _polish_candidates(surface, q, u, cands, iters):
     """Newton-polish a static list of (N,) candidate roots; returns a list of
-    (t, |g|, (x, y, z)) with all arrays (N,)-shaped."""
-    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
-    ux, uy, uz = d[..., 0], d[..., 1], d[..., 2]
+    (t, |g|, (x, y, z)) with all arrays (N,)-shaped. ``q``/``u`` are component
+    triples — never stacked into (N,3): a materialized (N,3) f32 array tiles
+    its minor dim up to the 128-lane register width on TPU, a ~42x HBM
+    blowup if any intermediate spills."""
+    px, py, pz = q
+    ux, uy, uz = u
     out = []
     for t in cands:
         for _ in range(iters):
@@ -200,13 +203,13 @@ def _solve_quadratic(a, b, c):
     return jnp.where(ok, t1, nan), jnp.where(ok, t2, nan)
 
 
-def _quadratic_coeffs(surface, p, d):
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    ux, uy, uz = d[..., 0], d[..., 1], d[..., 2]
+def _quadratic_coeffs(surface, q, u):
+    x, y, z = q
+    ux, uy, uz = u
     if isinstance(surface, Sphere):
         a = jnp.ones_like(x)
-        b = 2.0 * jnp.sum(d * p, axis=-1)
-        c = jnp.sum(p * p, axis=-1) - surface.radius**2
+        b = 2.0 * (ux * x + uy * y + uz * z)
+        c = x * x + y * y + z * z - surface.radius**2
     elif isinstance(surface, Cylinder):
         a = uy * uy + uz * uz
         b = 2.0 * (uy * y + uz * z)
@@ -289,25 +292,27 @@ def _quartic_roots(b, c, d, e):
     return [s1a - shift, s1b - shift, s2a - shift, s2b - shift]
 
 
-def _sphere_seeds(surface, p, d):
+def _sphere_seeds(surface, q, u):
     """Roots of the osculating sphere |q| = R + r through the mirror patch at
     (0,0,-R-r): cheap, robust Newton seeds for realistic toroidal mirrors."""
     R, r = surface.major_radius, surface.minor_radius
-    b_s = 2.0 * jnp.sum(d * p, axis=-1)
-    c_s = jnp.sum(p * p, axis=-1) - (R + r) ** 2
+    x, y, z = q
+    ux, uy, uz = u
+    b_s = 2.0 * (ux * x + uy * y + uz * z)
+    c_s = x * x + y * y + z * z - (R + r) ** 2
     s1, s2 = _solve_quadratic(jnp.ones_like(b_s), b_s, c_s)
     return [s1, s2]
 
 
-def _toroid_seeds(surface, p, d):
+def _toroid_seeds(surface, q, u):
     """Candidate t seeds for the toroid: 4 Ferrari roots of the exact quartic
     (coefficients as in ART/ModuleMirror.py:443-466) + the 2 roots of the
     osculating sphere of radius R+r."""
     R, r = surface.major_radius, surface.minor_radius
-    x, z = p[..., 0], p[..., 2]
-    ux, uz = d[..., 0], d[..., 2]
-    K = 2.0 * jnp.sum(d * p, axis=-1)
-    L = jnp.sum(p * p, axis=-1) + R * R - r * r
+    x, y, z = q
+    ux, uy, uz = u
+    K = 2.0 * (ux * x + uy * y + uz * z)
+    L = x * x + y * y + z * z + R * R - r * r
     G = 4.0 * R * R * (ux * ux + uz * uz)
     H = 8.0 * R * R * (ux * x + uz * z)
     II = 4.0 * R * R * (x * x + z * z)
@@ -323,7 +328,7 @@ def _toroid_seeds(surface, p, d):
     # sanitize *before* rescaling: nan lanes (complex root pairs) would leak
     # into s's cotangent through 0*nan in the product rule
     quartic = [jnp.where(jnp.isfinite(t), t, -1.0) * s for t in quartic]
-    return quartic + _sphere_seeds(surface, p, d)
+    return quartic + _sphere_seeds(surface, q, u)
 
 
 # ---------------------------------------------------------------------------
@@ -379,8 +384,6 @@ def intersect_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
         on_sup = sup.include(support, qx + t * ux - ox, qy + t * uy - oy)
         return t, (t > t_eps) & on_sup
 
-    p3 = jnp.stack([qx, qy, qz], axis=-1)
-    d3 = jnp.stack([ux, uy, uz], axis=-1)
     if isinstance(surface, Toroid):
         # float32 = production TPU mode: the osculating-sphere seed + Newton
         # reaches the patch root without the transcendental-heavy Ferrari
@@ -389,19 +392,38 @@ def intersect_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
         # even for exotic geometries. Override with ART_TPU_TOROID_EXACT=1.
         fast = qx.dtype == jnp.float32 and not _TOROID_EXACT
         if fast:
-            cands = _sphere_seeds(surface, p3, d3)
+            # polish a SINGLE seed: the nearest forward sphere crossing on
+            # the mirror side (z<0). Newton converges to the torus root on
+            # the same side, which is exactly the reference's nearest-valid
+            # pick (ART/ModuleMirror.py:27-38 + the z<-R branch filter) —
+            # half the polish cost of carrying both crossings.
+            s1, s2 = _sphere_seeds(surface, q, u)
+            far = jnp.asarray(jnp.inf, dtype=qx.dtype)
+
+            def rank(t):
+                t = jnp.where(jnp.isfinite(t), t, -1.0)
+                ok = (t > t_eps) & (qz + t * uz < 0.0)
+                return jnp.where(ok, t, far), t
+
+            r1, s1 = rank(s1)
+            r2, s2 = rank(s2)
+            # nearer valid crossing wins; with neither valid this falls back
+            # to the (sanitized) first root, and the post-polish validity
+            # test rejects it if it is a genuine miss
+            seed = jnp.where(r1 <= r2, s1, s2)
+            cands = [seed]
             iters = _NEWTON_ITERS_TOROID_FAST
         else:
-            cands = _toroid_seeds(surface, p3, d3)
+            cands = _toroid_seeds(surface, q, u)
             iters = _NEWTON_ITERS_TOROID
     else:
-        a, b, c = _quadratic_coeffs(surface, p3, d3)
+        a, b, c = _quadratic_coeffs(surface, q, u)
         t1, t2 = _solve_quadratic(a, b, c)
         cands = [t1, t2]
         iters = _NEWTON_ITERS
 
     cands = [jnp.where(jnp.isfinite(t), t, -1.0) for t in cands]
-    polished = _polish_candidates(surface, p3, d3, cands, iters)
+    polished = _polish_candidates(surface, q, u, cands, iters)
     ox, oy = support_offset_xy(surface)
     t_best = jnp.full(qx.shape, jnp.inf, dtype=qx.dtype)
     for t, g_abs, (x, y, z) in polished:

@@ -148,7 +148,12 @@ def _to_lab_c(element, q, u):
     return (px, py, pz), (dx, dy, dz)
 
 
-def mirror_step_c(element: MirrorElement, s: TraceState, ignore_defects: bool) -> TraceState:
+def mirror_step_c(
+    element: MirrorElement,
+    s: TraceState,
+    ignore_defects: bool,
+    want_incidence: bool = True,
+) -> TraceState:
     (qx, qy, qz), (ux, uy, uz) = _to_local_c(element, s)
     t, hit = srf.intersect_c(element.surface, element.support, (qx, qy, qz), (ux, uy, uz))
 
@@ -180,13 +185,19 @@ def mirror_step_c(element: MirrorElement, s: TraceState, ignore_defects: bool) -
         nx, ny, nz = -gx * inv, -gy * inv, inv
 
     dn = ux * nx + uy * ny + uz * nz
-    # incidence angle between -u and n; both unit vectors, so arccos(-u.n)
-    # (the reference's arctan2 form, ART/ModuleGeometry.py:40-44, only helps
-    # below micro-radian angles — irrelevant for this diagnostic output)
-    incidence = _acos(-dn)
     rx, ry, rz = ux - 2.0 * dn * nx, uy - 2.0 * dn * ny, uz - 2.0 * dn * nz
 
     upd = s.alive & hit
+    if want_incidence:
+        # incidence angle between -u and n; both unit vectors, so arccos(-u.n)
+        # (the reference's arctan2 form, ART/ModuleGeometry.py:40-44, only
+        # helps below micro-radian angles — irrelevant for this diagnostic)
+        inc_out = jnp.where(upd, _acos(-dn), s.incidence)
+    else:
+        # history-free mode: only the final element's incidence is observable
+        # (dead rays are excluded from every reduction), so skip the compute
+        # AND the carried (N,) array — one less state leaf per fusion pass
+        inc_out = s.incidence
     (px, py, pz), (dx, dy, dz) = _to_lab_c(element, (x, y, z), (rx, ry, rz))
     opl, opl_c = kahan_add(s.opl, s.opl_c, jnp.where(upd, t, 0.0))
     return TraceState(
@@ -199,11 +210,11 @@ def mirror_step_c(element: MirrorElement, s: TraceState, ignore_defects: bool) -
         opl=opl,
         opl_c=opl_c,
         alive=upd,
-        incidence=jnp.where(upd, incidence, s.incidence),
+        incidence=inc_out,
     )
 
 
-def mask_step_c(element: MaskElement, s: TraceState) -> TraceState:
+def mask_step_c(element: MaskElement, s: TraceState, want_incidence: bool = True) -> TraceState:
     (qx, qy, qz), (ux, uy, uz) = _to_local_c(element, s)
     t = -qz / jnp.where(jnp.abs(uz) > 1e-30, uz, jnp.inf)
     x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
@@ -211,10 +222,13 @@ def mask_step_c(element: MaskElement, s: TraceState) -> TraceState:
     # transmit rays that hit the plane *outside* the support
     # (ART/ModuleMask.py:51-61)
     transmitted = (t > T_EPS) & ~on_support
-    # mask incidence uses +u (not -u): ART/ModuleMask.py:99
-    incidence = _acos(uz)
 
     upd = s.alive & transmitted
+    if want_incidence:
+        # mask incidence uses +u (not -u): ART/ModuleMask.py:99
+        inc_out = jnp.where(upd, _acos(uz), s.incidence)
+    else:
+        inc_out = s.incidence
     (px, py, pz), _ = _to_lab_c(element, (x, y, z), (ux, uy, uz))
     opl, opl_c = kahan_add(s.opl, s.opl_c, jnp.where(upd, t, 0.0))
     return TraceState(
@@ -227,15 +241,17 @@ def mask_step_c(element: MaskElement, s: TraceState) -> TraceState:
         opl=opl,
         opl_c=opl_c,
         alive=upd,
-        incidence=jnp.where(upd, incidence, s.incidence),
+        incidence=inc_out,
     )
 
 
-def state_step(element, s: TraceState, ignore_defects: bool = True) -> TraceState:
+def state_step(
+    element, s: TraceState, ignore_defects: bool = True, want_incidence: bool = True
+) -> TraceState:
     if isinstance(element, MirrorElement):
-        return mirror_step_c(element, s, ignore_defects)
+        return mirror_step_c(element, s, ignore_defects, want_incidence=want_incidence)
     if isinstance(element, MaskElement):
-        return mask_step_c(element, s)
+        return mask_step_c(element, s, want_incidence=want_incidence)
     raise TypeError(f"unknown element type {type(element)}")
 
 
@@ -272,8 +288,14 @@ def trace(
     """
     history = []
     s = bundle_to_state(source)
-    for element in elements:
-        s = state_step(element, s, ignore_defects=ignore_defects)
+    last = len(elements) - 1
+    for i, element in enumerate(elements):
+        s = state_step(
+            element,
+            s,
+            ignore_defects=ignore_defects,
+            want_incidence=keep_history or i == last,
+        )
         if keep_history:
             history.append(state_to_bundle(s, source))
     return history if keep_history else state_to_bundle(s, source)
