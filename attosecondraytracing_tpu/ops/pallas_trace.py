@@ -83,8 +83,12 @@ def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc,
         alive=alive[:] != 0,
         incidence=inc[:],
     )
-    for el in elements:
-        s = state_step(el, s)
+    last = len(elements) - 1
+    for i, el in enumerate(elements):
+        # only the final element's incidence is observable in a no-history
+        # trace (matches trace(keep_history=False)); skipping the acos and
+        # the carried tile for interior elements saves VPU work
+        s = state_step(el, s, want_incidence=(i == last))
     opx[:] = s.px
     opy[:] = s.py
     opz[:] = s.pz
