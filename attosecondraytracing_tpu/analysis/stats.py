@@ -13,8 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.bundle import RayBundle, total_path
-from ..ops.geometry import angle_between
+from ..ops.bundle import RayBundle
+from ..ops.geometry import angle_between, kahan_add
 from ..ops.precision import LIGHT_SPEED_MM_S
 
 
@@ -113,12 +113,23 @@ def centre_point_cloud(xy, alive):
 
 def detector_delays(bundle: RayBundle, centre, normal):
     """Ray delays [fs] relative to the mean travel time of surviving rays
-    (Detector.get_Delays, ART/ModuleDetector.py:254-279)."""
+    (Detector.get_Delays, ART/ModuleDetector.py:254-279).
+
+    Precision note: the trace carries the OPL as a Kahan pair
+    ``(opl, opl_c)`` whose compensation is ~1 ulp of a metre-scale total —
+    i.e. exactly the fs-scale signal this function extracts. Collapsing the
+    pair first (``opl - opl_c``) re-rounds the compensation away in float32,
+    so the large common part is cancelled *before* the compensation is
+    applied: ``(opl - mean_opl)`` is exact (Sterbenz: all totals are within
+    2x of each other), and only then is the small ``(opl_c - mean_c)``
+    correction subtracted."""
     _, t = detector_points_3d(bundle, centre, normal)
-    opl = total_path(bundle) + t
+    s, c = kahan_add(bundle.opl, bundle.opl_c, t)
     w = _alive_w(bundle)
-    mean = masked_mean(opl, w)
-    return (opl - mean) / LIGHT_SPEED_MM_S * 1e15
+    mean_s = masked_mean(s, w)
+    mean_c = masked_mean(c, w)
+    delta = (s - mean_s) - (c - mean_c)
+    return delta / LIGHT_SPEED_MM_S * 1e15
 
 
 def spot_and_duration(bundle: RayBundle, centre, normal, rot, intensity_weighted=False):

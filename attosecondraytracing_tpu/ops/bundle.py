@@ -86,8 +86,14 @@ def make_bundle(points, directions, wavelength=None, intensity=None, dtype=None)
 
 
 def total_path(bundle: RayBundle):
-    """Accurate accumulated OPL (sum + compensation)."""
-    return bundle.opl + bundle.opl_c
+    """Accurate accumulated OPL.
+
+    ``kahan_add`` keeps the classic-Kahan compensation ``c = (t - s) - y``,
+    i.e. the rounding *excess* already folded into the running sum, so the
+    refined value is ``opl - opl_c``. (Adding instead of subtracting doubles
+    the last-step rounding error — the round-1 sign bug.)
+    """
+    return bundle.opl - bundle.opl_c
 
 
 def to_host(bundle: RayBundle):

@@ -83,8 +83,13 @@ def reflect(d, n):
 
 
 def kahan_add(s, c, x):
-    """One step of Kahan-compensated accumulation: returns (s', c') with
-    s' + c' ~= s + c + x to roughly twice the working precision."""
+    """One step of classic Kahan-compensated accumulation.
+
+    ``c`` holds the rounding *excess* already absorbed into ``s`` (classic
+    convention: ``c = (t - s) - y``), so the invariant is
+    ``s' - c' ~= (s - c) + x`` to roughly twice the working precision. The
+    refined readout is therefore ``s - c`` (see ``bundle.total_path``).
+    """
     y = x - c
     t = s + y
     c_new = (t - s) - y

@@ -167,6 +167,36 @@ def test_float32_delay_noise_floor():
     a = np.asarray(out64.alive) & np.asarray(out32.alive)
     dl64 = np.asarray(det.get_Delays(out64))[a]
     dl32 = np.asarray(det.get_Delays(out32))[a]
-    assert np.std(dl32 - dl64) < 0.4  # fs
+    assert np.std(dl32 - dl64) < 0.25  # fs (measured 0.197; floor set by
+    # per-leg intersection-t rounding, ~ulp(1000 mm)/c ~ 0.2 fs per leg)
     dp = np.asarray(out32.p)[a] - np.asarray(out64.p)[a]
     assert np.std(dp) < 2e-3  # mm
+
+
+def test_kahan_opl_sign_convention():
+    """Regression test for the round-1 sign bug: kahan_add stores the rounding
+    *excess* (classic convention), so the refined readout is s - c, never
+    s + c. Accumulate 64 metre-scale float32 segments and check that s - c
+    recovers the float64 sum to ~1 ulp while s + c roughly doubles the plain
+    float32 error."""
+    from attosecondraytracing_tpu.ops.geometry import kahan_add
+
+    rng = np.random.default_rng(7)
+    xs64 = rng.uniform(900.0, 1100.0, size=64)
+    xs32 = xs64.astype(np.float32)
+    exact = np.sum(xs32.astype(np.float64))
+
+    s = np.float32(0.0)
+    c = np.float32(0.0)
+    plain = np.float32(0.0)
+    for x in xs32:
+        s, c = kahan_add(s, c, x)
+        plain = np.float32(plain + x)
+
+    err_fixed = abs(float(s) - float(c) - exact)
+    err_old = abs(float(s) + float(c) - exact)
+    err_plain = abs(float(plain) - exact)
+    ulp = np.spacing(np.float32(exact))
+    assert err_fixed <= 1.5 * ulp
+    assert err_fixed <= err_plain
+    assert err_old >= err_plain  # the old sign is strictly worse than no Kahan
