@@ -236,7 +236,7 @@ def RayRenderGraph(
     except ImportError:
         pv = None
     if pv is not None:
-        return _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colors)
+        return _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colors, draw_mesh)
     colors = generate_distinct_colors(len(segment_sets)) if cycle_ray_colors else [(0.7, 0, 0)] * len(segment_sets)
 
     fig = plt.figure(figsize=(12, 5))
@@ -245,6 +245,13 @@ def RayRenderGraph(
         for a, b in segs:
             ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], color=color, linewidth=0.5, alpha=0.6)
     for element in chain.optical_elements:
+        if draw_mesh:
+            pts, tris = _element_mesh_lab(element, OEpoints)
+            if len(tris):
+                ax.plot_trisurf(
+                    pts[:, 0], pts[:, 1], pts[:, 2], triangles=tris, alpha=0.4, linewidth=0.1
+                )
+                continue
         pts = _element_points_lab(element, OEpoints)
         ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=scale_spheres * 0.2, alpha=0.5)
     ax.set_xlabel("x (mm)")
@@ -258,7 +265,7 @@ def RayRenderGraph(
     return fig
 
 
-def _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colors):
+def _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colors, draw_mesh=False):
     """PyVista scene (reference RayRenderGraph look,
     ART/ModuleAnalysisAndPlots.py:616-673). Only reached when pyvista is
     installed."""
@@ -275,6 +282,15 @@ def _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colo
         pts = np.concatenate([np.stack([a, b]) for a, b in segs], axis=0)
         plotter.add_mesh(pv.line_segments_from_points(pts), color=color[:3])
     for element in chain.optical_elements:
+        if draw_mesh:
+            # triangulated surface (reference delaunay_2d mesh,
+            # ART/ModuleAnalysisAndPlots.py:544-561), built in the optic's
+            # local support plane so holes are respected
+            pts, tris = _element_mesh_lab(element, OEpoints)
+            if len(tris):
+                faces = np.column_stack([np.full(len(tris), 3), tris]).ravel()
+                plotter.add_mesh(pv.PolyData(pts, faces=faces), opacity=0.7)
+                continue
         pts = _element_points_lab(element, OEpoints)
         plotter.add_mesh(
             pv.PolyData(pts), point_size=scale_spheres, render_points_as_spheres=True
@@ -323,6 +339,37 @@ def _element_points_lab(element, n_points):
     R = element.frame_rotation()
     centre = element.type.get_centre()
     return (pts_local - centre) @ R + element.position
+
+
+def _element_mesh_lab(element, n_points):
+    """(lab points, triangle indices) for a surface mesh of the element.
+
+    The reference triangulates with pyvista's ``delaunay_2d`` seeded by
+    support-contour edges (ART/ModuleAnalysisAndPlots.py:544-561). Here the
+    Delaunay triangulation runs in the optic's local x-y support plane (the
+    surface is a height map over the support, so this is well-defined for
+    every mirror type), and triangles whose centroid falls off the support
+    are dropped — which handles holed supports without an edge source."""
+    import matplotlib.tri as mtri
+
+    pts_local = np.asarray(element.type.get_grid3D(n_points))
+    x, y = pts_local[:, 0], pts_local[:, 1]
+    try:
+        tri = mtri.Triangulation(x, y)
+    except (ValueError, RuntimeError):  # degenerate grids (<3 pts, collinear)
+        return _element_points_lab(element, n_points), np.zeros((0, 3), int)
+    tris = tri.triangles
+    # support coordinates are relative to the support centre (grid3D points
+    # are in the optic frame, offset by get_centre() for off-axis optics)
+    centre = element.type.get_centre()
+    cx = x[tris].mean(axis=1) - centre[0]
+    cy = y[tris].mean(axis=1) - centre[1]
+    keep = np.asarray(sup.include(element.type.support, cx, cy))
+    tris = tris[keep]
+    R = element.frame_rotation()
+    centre = element.type.get_centre()
+    pts_lab = (pts_local - centre) @ R + element.position
+    return pts_lab, tris
 
 
 def _maybe_show():

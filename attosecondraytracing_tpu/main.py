@@ -36,6 +36,11 @@ from .utils import log
 from .utils.io import save_compressed
 
 
+# True while run_config_file() drives a CONFIG from the CLI; mirrors the
+# reference's `__name__ != "__main__"` plot gating (ARTmain.py:294-296)
+_CLI_ACTIVE = False
+
+
 def load_config(config):
     """Pull the 4 config variables off an imported config module
     (ARTmain.py:56-96)."""
@@ -159,6 +164,7 @@ def make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, Analy
             detector.get_distance() * 1.2,
             A["maxRaysToRender"],
             A["OEPointsToRender"],
+            A["OEPointsScale"],
             draw_mesh=A["draw_mesh"],
             cycle_ray_colors=A["cycle_ray_colors"],
         )
@@ -222,7 +228,10 @@ def run_ART(
     if AnalysisOptions["verbose"]:
         print(niceline)
 
-    if not loop:
+    # reference gating (ARTmain.py:294-296): scan-loop runs plot only when
+    # main() is invoked as a library (not via the CLI), where the caller
+    # presumably wants every iteration's figures
+    if not loop or not _CLI_ACTIVE:
         plot_keys = [k for k in AnalysisOptions if k.startswith("plot_")]
         if any(AnalysisOptions[k] for k in plot_keys):
             make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, AnalysisOptions)
@@ -285,7 +294,13 @@ def _batched_final_bundles(chains):
     try:
         stacked_elements, stacked_sources = stack_chains(chains)
         outs = trace_scan(stacked_sources, stacked_elements)
-    except Exception:
+    except Exception as exc:  # structurally-mixed scans etc. fall back to serial
+        print(
+            f"[attosecondraytracing_tpu] batched scan unavailable "
+            f"({type(exc).__name__}: {exc}); falling back to the serial per-chain trace.",
+            file=sys.stderr,
+            flush=True,
+        )
         return None
     return [jax.tree.map(lambda x, i=i: x[i], outs) for i in range(len(chains))]
 
@@ -293,14 +308,19 @@ def _batched_final_bundles(chains):
 def run_config_file(path: str):
     """Execute a CONFIG file and run main() on its contents (CLI path,
     ARTmain.py:346-382)."""
+    global _CLI_ACTIVE
     log.print_banner()
     filename = os.path.basename(path)
     spec = importlib.util.spec_from_file_location(filename, path)
     config_module = importlib.util.module_from_spec(spec)
     sys.modules[filename] = config_module
-    spec.loader.exec_module(config_module)
-    chains, sp, do, ao = load_config(config_module)
-    return main(chains, sp, do, ao, save_file_name=os.path.splitext(path)[0])
+    _CLI_ACTIVE = True
+    try:
+        spec.loader.exec_module(config_module)
+        chains, sp, do, ao = load_config(config_module)
+        return main(chains, sp, do, ao, save_file_name=os.path.splitext(path)[0])
+    finally:
+        _CLI_ACTIVE = False
 
 
 def cli(argv=None):

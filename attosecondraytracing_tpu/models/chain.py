@@ -196,7 +196,16 @@ class OpticalChain:
             elif axis.startswith("shift"):
                 mod.shift_source(axis[6:], float(x))
             else:  # divergence: rebuild a point source with the same axis
-                p0 = np.asarray(self.source_rays.p)[0]
+                pts = np.asarray(self.source_rays.p)
+                if not np.allclose(pts, pts[0], atol=1e-12):
+                    raise ValueError(
+                        "get_source_loop_list('divergence', ...) requires a point "
+                        "source (all rays sharing one origin). This chain's source "
+                        "has extended/plane-wave origins, so rebuilding it from ray 0 "
+                        "would silently change the scene; build the scan from a fresh "
+                        "PointSource instead."
+                    )
+                p0 = pts[0]
                 d0 = np.asarray(self.source_rays.d)[0]
                 edge_int = float(np.asarray(self.source_rays.intensity)[-1])
                 src = msource.PointSource(

@@ -9,8 +9,10 @@ big trace, and re-baking on geometry change is a normal jit recompile.
 
 The kernel body reuses the exact component-form step functions of
 :mod:`attosecondraytracing_tpu.ops.trace` (pure jnp on identically-shaped
-tiles), so the Pallas path is numerically identical to the XLA path by
-construction; tests assert bit-level agreement.
+tiles), so the Pallas path computes the same arithmetic as the XLA path;
+tests (tests/test_pallas.py) assert agreement within a small float32
+reassociation envelope (Mosaic and XLA may schedule/fuse FLOPs differently,
+so bit-exactness is not guaranteed).
 
 Layout: each (N,) ray component is reshaped to (N/128, 128) and tiled in
 blocks of (BLOCK_ROWS, 128) — rays on the 128-wide lane axis, full VPU
@@ -126,7 +128,13 @@ def _pallas_trace_padded(comps, elements, block_rows, interpret):
 
 def pallas_trace(source: RayBundle, elements, block_rows: int = BLOCK_ROWS) -> RayBundle:
     """Trace ``source`` through ``elements`` with the fused kernel; returns
-    the final bundle (no history). Geometry is baked statically."""
+    the final bundle (no history). Geometry is baked statically.
+
+    Like ``trace(keep_history=False)``, the returned ``incidence`` is only
+    meaningful for rays alive after the final element: interior steps skip
+    the incidence update, so rays that die mid-chain keep their *source*
+    incidence, not the incidence at the last element they hit. Dead rays are
+    excluded from every reduction, so this is unobservable in statistics."""
     baked = _static_elements(elements)
     n = source.n_rays
     tile = block_rows * LANES

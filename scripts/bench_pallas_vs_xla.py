@@ -14,6 +14,12 @@ sys.path.insert(0, "/root/repo")
 
 
 def main(n_rays=10_000_000, iters=6):
+    if jax.default_backend() != "tpu":
+        raise SystemExit(
+            "TPU required: this script compiles the fused kernel with "
+            "interpret=False (use ops.pallas_trace.pallas_trace for the "
+            "CPU-interpreted fallback)"
+        )
     from bench import build_device
     from attosecondraytracing_tpu.ops.trace import trace
     from attosecondraytracing_tpu.ops import pallas_trace as pt

@@ -6,6 +6,12 @@ import time
 from functools import partial
 
 import jax
+
+# the f64 reference trace must actually run in float64 (and thereby take the
+# exact-quartic toroid path, surfaces.py dtype gate) — without this the sweep
+# compares fast-Newton against itself and reports misleading ~zero error
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,6 +25,9 @@ from attosecondraytracing_tpu.models.placement import OEPlacement
 
 
 def accuracy(iters):
+    # the iteration count is read from a module global at trace time, so any
+    # cached executable baked the previous value — drop all jit caches
+    jax.clear_caches()
     srf._NEWTON_ITERS_TOROID_FAST = iters
     focal, inc = 500.0, 80.0
     R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
@@ -44,7 +53,13 @@ def accuracy(iters):
 
 
 def speed(iters, n_rays=10_000_000, reps_pair=(1, 5), rounds=5):
+    # _pallas_trace_padded is a module-level jit whose static args are
+    # identical across iters values; without clearing, every sweep point
+    # would reuse the executable compiled for the FIRST value
+    jax.clear_caches()
     srf._NEWTON_ITERS_TOROID_FAST = iters
+    if jax.default_backend() != "tpu":
+        raise SystemExit("speed() requires a TPU backend (the fused kernel is not compiled for CPU)")
     from bench import build_device
 
     source, elements = build_device(n_rays)

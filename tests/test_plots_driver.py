@@ -103,3 +103,46 @@ def test_run_art_loop_variable_output(capsys):
     run_ART(chain, sp, do, ao, loop=True)
     out = capsys.readouterr().out
     assert "test var" in out and "energy transmission" in out
+
+
+def test_batched_scan_fallback_is_visible(capsys):
+    """A structurally-mixed chain list cannot be batch-traced; the driver must
+    fall back to the serial path with a notice on stderr (not silently)."""
+    from attosecondraytracing_tpu.main import _batched_final_bundles
+    from attosecondraytracing_tpu.models import masks as mmask
+    from attosecondraytracing_tpu.models import supports as msupp
+    from attosecondraytracing_tpu.models.placement import OEPlacement
+
+    c1 = _chain(60)
+    # same length but a Mask instead of a Mirror -> different element types
+    mask = mmask.Mask(msupp.SupportRoundHole(20, 3, 0, 0))
+    props = {"Divergence": 0, "SourceSize": 40, "Wavelength": 800e-6, "DeltaFT": 2.7, "NumberRays": 60}
+    c2 = OEPlacement(props, [mask], [100.0], [0.0])
+    out = _batched_final_bundles([c1, c2])
+    err = capsys.readouterr().err
+    assert out is None
+    assert "falling back to the serial" in err
+
+
+def test_draw_mesh_renders_triangulated_surface():
+    """draw_mesh=True builds a triangulated surface (reference delaunay_2d
+    mesh, ART/ModuleAnalysisAndPlots.py:529-561); the holed support must have
+    no triangles spanning the hole."""
+    from attosecondraytracing_tpu.analysis.plots import _element_mesh_lab
+    from attosecondraytracing_tpu.ops import supports as sup
+
+    chain = _chain()  # parabola with SupportRoundHole(30, 5, 10, 5)
+    el = chain.optical_elements[0]
+    pts, tris = _element_mesh_lab(el, 800)
+    assert len(tris) > 100
+    assert pts.shape[1] == 3
+    # no triangle centroid lies inside the hole / outside the disk
+    pts_local = np.asarray(el.type.get_grid3D(800))
+    centre = el.type.get_centre()
+    cx = pts_local[tris, 0].mean(axis=1) - centre[0]
+    cy = pts_local[tris, 1].mean(axis=1) - centre[1]
+    assert np.asarray(sup.include(el.type.support, cx, cy)).all()
+    # full render path with the flag on (matplotlib fallback or pyvista)
+    fig = plots.RayRenderGraph(chain, maxRays=20, OEpoints=500, draw_mesh=True)
+    assert fig is not None
+    plt.close("all")

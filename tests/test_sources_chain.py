@@ -160,3 +160,19 @@ def test_optfor_validation():
         FindOptimalDistance(det, out, "bogus")
     # 'size' (validated-but-unimplemented spelling in the reference) works here
     FindOptimalDistance(det, out, "size", Amplitude=5.0, Precision=1)
+
+
+def test_divergence_loop_list_guards_non_point_sources():
+    """divergence scans rebuild a PointSource from ray 0; that is only valid
+    when all rays share one origin. Plane-wave/extended sources must raise
+    instead of silently changing the scene (round-1 VERDICT item 9)."""
+    chain = _grazing_chain()  # point source: works
+    scans = chain.get_source_loop_list("divergence", [5e-3, 10e-3])
+    assert len(scans) == 2
+    d = np.asarray(scans[0].source_rays.d)
+    ang = np.arccos(np.clip(d @ d[0], -1, 1))
+    assert abs(ang.max() - 5e-3) < 2e-4
+
+    plane_chain = _simple_chain()  # SourceSize=20 -> plane-wave disk source
+    with pytest.raises(ValueError, match="point source"):
+        plane_chain.get_source_loop_list("divergence", [5e-3])
