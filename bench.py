@@ -73,7 +73,43 @@ def build_device(n_rays: int):
     return source, elements
 
 
+def _slope_time(step_fn, arg, k_lo=1, k_hi=5, rounds=6, verbose=True, label=""):
+    """Per-trace seconds via slope timing: (min t(k_hi) - min t(k_lo)) /
+    (k_hi - k_lo).
+
+    The per-dispatch RPC/launch/fetch overhead (~25-30 ms through the
+    dev-environment tunnel — an artifact of the tunnel, not the chip) is
+    amortized away by the subtraction; taking the min of each rep count
+    SEPARATELY before subtracting rejects interference on the shared device
+    without the fake-fast bias of min-of-differences (an interference spike
+    inside t_lo would otherwise *shrink* the difference and overstate
+    throughput).
+
+    Sync note: on the tunneled TPU platform `jax.block_until_ready` returns
+    before execution finishes, so each sample syncs by fetching the scalar
+    result (float() forces a literal transfer, which cannot complete before
+    the computation has)."""
+
+    def timed(reps: int) -> float:
+        t0 = time.perf_counter()
+        v = float(step_fn(arg, reps))
+        assert np.isfinite(v)
+        return time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    timed(k_lo)
+    timed(k_hi)
+    if verbose:
+        print(f"# {label} compile+first runs: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    lo = min(timed(k_lo) for _ in range(rounds))
+    hi = min(timed(k_hi) for _ in range(rounds))
+    return (hi - lo) / (k_hi - k_lo)
+
+
 def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
+    from functools import partial
+
+    from attosecondraytracing_tpu.ops import pallas_trace as pt
     from attosecondraytracing_tpu.ops.trace import trace
 
     t_start = time.perf_counter()
@@ -81,24 +117,17 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
     if verbose:
         print(f"# build (on device): {time.perf_counter() - t_start:.1f}s", file=sys.stderr)
 
-    from functools import partial
-
+    # --- XLA path: whole chain in one jit, elements baked ------------------
     @partial(jax.jit, static_argnames=("reps",))
-    def step(source, reps: int):
-        # elements are closed over -> baked into the executable (no per-call
-        # transfers). reps traces are UNROLLED inside one dispatch (a
-        # lax.fori_loop would serialize scheduling and cost ~2x); the
-        # per-iteration source perturbation defeats CSE across iterations.
-        # The consume touches every physical output so none of the trace
-        # gets dead-code-eliminated.
+    def step_xla(source, reps: int):
+        # reps traces are UNROLLED inside one dispatch (a lax.fori_loop would
+        # serialize scheduling); the per-iteration source perturbation
+        # defeats CSE across iterations. The consume touches every physical
+        # output so none of the trace gets dead-code-eliminated.
         acc = jnp.asarray(0.0, dtype=source.p.dtype)
         for i in range(reps):
-            # perturb positions: they feed every intersection, so no
-            # iteration can be folded into another
             src = source._replace(p=source.p + (i + 1) * 1e-30)
             out = trace(src, elements, keep_history=False)
-            # full reductions over every physical output: anything narrower
-            # lets XLA slice-push or dead-code the trace away
             w = out.alive.astype(out.p.dtype) * out.intensity
             acc = (acc + out.opl.sum() + out.incidence.sum() + out.d.sum()
                    + out.p.sum() + w.sum())
@@ -109,51 +138,56 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
     # bounce ~10 GB of ray state through HBM; raising it keeps more of the
     # chain in registers/VMEM (measured 10.4 -> 6.9 ms/trace on v5e).
     opts = {"xla_jf_fusion_max_instruction_count_for_window_config": "4000"}
-    compiled = {}
+    compiled_xla = {}
 
-    def get_compiled(reps: int):
-        if reps not in compiled:
-            lowered = jax.jit(lambda s: step(s, reps)).lower(source)
+    def step_xla_compiled(src, reps):
+        if reps not in compiled_xla:
+            lowered = jax.jit(lambda s: step_xla(s, reps)).lower(src)
             try:
-                compiled[reps] = lowered.compile(compiler_options=opts)
+                compiled_xla[reps] = lowered.compile(compiler_options=opts)
             except Exception:
                 # non-TPU backends reject TPU compilation-environment options
-                compiled[reps] = lowered.compile()
-        return compiled[reps]
+                compiled_xla[reps] = lowered.compile()
+        return compiled_xla[reps](src)
 
-    def timed(reps: int) -> float:
-        """Fetch-synced wall time of one dispatch of `reps` traces.
+    # --- Pallas path: fused whole-chain kernel, fresh-source variant -------
+    baked = pt._static_elements(elements)
+    tile = pt.BLOCK_ROWS * pt.LANES
+    n_pad = ((n_rays + tile - 1) // tile) * tile
 
-        IMPORTANT: on the tunneled TPU platform `jax.block_until_ready`
-        returns before execution finishes, so we sync by fetching the scalar
-        result value (float() forces a literal transfer, which cannot
-        complete before the computation has)."""
-        t0 = time.perf_counter()
-        v = float(get_compiled(reps)(source))
-        assert np.isfinite(v)
-        return time.perf_counter() - t0
+    def prep(x, fill=0.0):
+        x = jnp.asarray(x)
+        x = jnp.pad(x, (0, n_pad - n_rays), constant_values=fill)
+        return x.reshape(n_pad // pt.LANES, pt.LANES)
 
-    k_lo, k_hi = 1, 5
-    # warmup/compile both rep counts
-    t0 = time.perf_counter()
-    timed(k_lo)
-    timed(k_hi)
+    comps = tuple(jax.block_until_ready((
+        prep(source.p[..., 0]), prep(source.p[..., 1]), prep(source.p[..., 2]),
+        prep(source.d[..., 0]), prep(source.d[..., 1]), prep(source.d[..., 2], 1.0),
+    )))
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def step_pallas(comps, reps: int):
+        acc = jnp.asarray(0.0, jnp.float32)
+        for i in range(reps):
+            c = (comps[0] + (i + 1) * 1e-30,) + comps[1:]
+            outs = pt._pallas_trace_padded(
+                c, baked, pt.BLOCK_ROWS, jax.default_backend() == "cpu",
+                fresh=True, n_rays=n_rays)
+            for o in outs:
+                acc = acc + o.astype(jnp.float32).sum()
+        return acc
+
+    results = {}
+    results["pallas"] = _slope_time(step_pallas, comps, rounds=iters,
+                                    verbose=verbose, label="pallas")
     if verbose:
-        print(f"# compile+first runs: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        print(f"# pallas: {results['pallas']*1e3:.3f} ms/trace", file=sys.stderr)
+    results["xla"] = _slope_time(step_xla_compiled, source, rounds=iters,
+                                 verbose=verbose, label="xla")
+    if verbose:
+        print(f"# xla:    {results['xla']*1e3:.3f} ms/trace", file=sys.stderr)
 
-    # slope timing: per-trace time = (t(k_hi) - t(k_lo)) / (k_hi - k_lo).
-    # This amortizes away the fixed per-dispatch RPC/launch/fetch overhead
-    # (~25-30 ms through the tunnel, an artifact of the dev-environment
-    # tunnel, not the chip) and measures sustained on-chip throughput — the
-    # metric that matters for production tracing, where many traces stream
-    # through per dispatch. Best-of to reject interference on the shared
-    # device.
-    dt = float("inf")
-    for _ in range(iters):
-        t_lo = timed(k_lo)
-        t_hi = timed(k_hi)
-        dt = min(dt, (t_hi - t_lo) / (k_hi - k_lo))
-
+    path, dt = min(results.items(), key=lambda kv: kv[1])
     rays_per_s = n_rays / dt
     print(
         json.dumps(
@@ -162,6 +196,9 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / 1e9,
+                "path": path,
+                "xla_rays_per_second": n_rays / results["xla"],
+                "pallas_rays_per_second": n_rays / results["pallas"],
             }
         )
     )

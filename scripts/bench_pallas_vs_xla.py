@@ -20,7 +20,7 @@ def main(n_rays=10_000_000, iters=6):
             "interpret=False (use ops.pallas_trace.pallas_trace for the "
             "CPU-interpreted fallback)"
         )
-    from bench import build_device
+    from bench import build_device, _slope_time
     from attosecondraytracing_tpu.ops.trace import trace
     from attosecondraytracing_tpu.ops import pallas_trace as pt
 
@@ -28,7 +28,7 @@ def main(n_rays=10_000_000, iters=6):
     print(f"# built, n={n_rays}", file=sys.stderr)
 
     baked = pt._static_elements(elements)
-    tile = 256 * pt.LANES  # pad so every swept block_rows divides the rows
+    tile = 512 * pt.LANES  # pad so every swept block_rows divides the rows
     n_pad = ((n_rays + tile - 1) // tile) * tile
 
     # pre-reshape components once (outside timing, matches bench's on-device source)
@@ -37,21 +37,24 @@ def main(n_rays=10_000_000, iters=6):
         x = jnp.pad(x, (0, n_pad - n_rays), constant_values=fill)
         return x.reshape(n_pad // pt.LANES, pt.LANES)
 
-    comps = (
+    comps6 = (
         prep(source.p[..., 0]), prep(source.p[..., 1]), prep(source.p[..., 2]),
         prep(source.d[..., 0]), prep(source.d[..., 1]), prep(source.d[..., 2], 1.0),
+    )
+    comps10 = comps6 + (
         prep(source.opl), prep(source.opl_c),
         prep(source.alive.astype(jnp.int8)), prep(source.incidence),
     )
-    comps = jax.block_until_ready(comps)
+    comps6, comps10 = jax.block_until_ready((comps6, comps10))
 
-    def make_step_pallas(block_rows):
+    def make_step_pallas(block_rows, fresh):
         @partial(jax.jit, static_argnames=("reps",))
         def step_pallas(comps, reps):
             acc = jnp.asarray(0.0, jnp.float32)
             for i in range(reps):
                 c = (comps[0] + (i + 1) * 1e-30,) + comps[1:]
-                outs = pt._pallas_trace_padded(c, baked, block_rows, False)
+                outs = pt._pallas_trace_padded(c, baked, block_rows, False,
+                                               fresh=fresh, n_rays=n_rays)
                 for o in outs:
                     acc = acc + o.astype(jnp.float32).sum()
             return acc
@@ -68,25 +71,26 @@ def main(n_rays=10_000_000, iters=6):
                    + out.p.sum() + w.sum())
         return acc
 
-    def bench_fn(fn, arg, label):
-        def timed(reps):
-            t0 = time.perf_counter()
-            v = float(fn(arg, reps))
-            assert np.isfinite(v), v
-            return time.perf_counter() - t0
+    # same fusion-window option bench.py uses for the XLA path
+    opts = {"xla_jf_fusion_max_instruction_count_for_window_config": "4000"}
+    compiled_xla = {}
 
-        t0 = time.perf_counter()
-        timed(1); timed(5)
-        print(f"# {label} compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        dt = float("inf")
-        for _ in range(iters):
-            dt = min(dt, (timed(5) - timed(1)) / 4)
+    def step_xla_compiled(src, reps):
+        if reps not in compiled_xla:
+            compiled_xla[reps] = (
+                jax.jit(lambda s: step_xla(s, reps)).lower(src).compile(compiler_options=opts)
+            )
+        return compiled_xla[reps](src)
+
+    def bench_fn(fn, arg, label):
+        dt = _slope_time(fn, arg, rounds=iters, label=label)
         print(f"{label}: {dt*1e3:.3f} ms/trace -> {n_rays/dt/1e9:.3f} Grays/s")
         return dt
 
-    for br in (32, 64, 128, 256):
-        bench_fn(make_step_pallas(br), comps, f"pallas br={br}")
-    bench_fn(step_xla, source, "xla        ")
+    for br in (128, 256, 512):
+        bench_fn(make_step_pallas(br, True), comps6, f"pallas fresh br={br}")
+    bench_fn(make_step_pallas(256, False), comps10, "pallas strm  br=256")
+    bench_fn(step_xla_compiled, source, "xla                ")
 
 
 if __name__ == "__main__":

@@ -49,3 +49,26 @@ def test_pallas_matches_xla_trace():
     assert (np.asarray(ref.alive) == a).mean() > 0.99
     dref = np.abs(np.asarray(pal.p)[a] - np.asarray(ref.p)[a])
     assert np.median(dref) < 1e-3 and dref.max() < 5e-2
+
+
+def test_pallas_fresh_path_matches_streamed():
+    """The fresh-source kernel (opl/alive/incidence synthesized in-kernel)
+    must agree exactly with the streamed-input kernel, and auto-detection
+    must pick it for factory-fresh bundles."""
+    from attosecondraytracing_tpu.ops.pallas_trace import _is_fresh
+
+    chain = _flagship(777)  # padding tail exercises the static alive mask
+    src32 = _cast32(chain.source_rays)
+    elements = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+    assert _is_fresh(src32)
+
+    fresh = pallas_trace(src32, elements, fresh=True)
+    streamed = pallas_trace(src32, elements, fresh=False)
+    np.testing.assert_array_equal(np.asarray(fresh.alive), np.asarray(streamed.alive))
+    for leaf in ("p", "d", "opl", "opl_c", "incidence"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fresh, leaf)), np.asarray(getattr(streamed, leaf)), err_msg=leaf
+        )
+
+    # a mid-chain bundle is NOT fresh (some rays dead, opl nonzero)
+    assert not _is_fresh(fresh)
