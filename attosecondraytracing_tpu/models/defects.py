@@ -143,14 +143,21 @@ class Fourrier(_GridBackedDefect):
         res_x = int(round(k_max * rect[0] / 2)) + 1
         res_y = int(round(k_max * rect[1]))
 
-        kx = np.linspace(0.0, k_max, num=res_x, endpoint=False)[None, :]
-        ky = np.linspace(-k_max, k_max, num=res_y, endpoint=False)[:, None]
+        # The k-grid, band mask, and amplitudes are computed in float32 like
+        # the reference (ART/ModuleDefects.py:81-92): the inner cutoff k_min
+        # lands exactly ON grid nodes by construction (grid step 2/rect =
+        # k_min when biggest=max(rect)), so the in/out decision for those
+        # boundary modes depends on the rounding precision — a float64 grid
+        # would include a different mode set than the reference and the maps
+        # would diverge by whole (high-amplitude, k^slope) modes.
+        kx = np.linspace(0.0, k_max, num=res_x, endpoint=False, dtype=np.float32)[None, :]
+        ky = np.linspace(-k_max, k_max, num=res_y, endpoint=False, dtype=np.float32)[:, None]
         k_abs = np.sqrt(kx**2 + ky**2)
-        in_band = (k_abs >= k_min) & (k_abs <= k_max)
-        amp = np.where(in_band, np.where(in_band, k_abs, 1.0) ** slope, 0.0)
+        in_band = (k_abs >= np.float32(k_min)) & (k_abs <= np.float32(k_max))
+        amp = np.where(in_band, np.where(in_band, k_abs, np.float32(1.0)) ** slope, np.float32(0.0))
 
         rng = np.random.default_rng(seed) if seed is not None else np.random
-        phases = rng.uniform(0.0, 2.0 * np.pi, size=k_abs.shape)
+        phases = rng.uniform(0.0, 2.0 * np.pi, size=k_abs.shape).astype(np.float32)
         spectrum = amp * np.exp(1j * phases)
 
         deformation = np.fft.irfft2(np.fft.ifftshift(spectrum, axes=0))

@@ -132,6 +132,7 @@ def load_reference():
     ns.mchain = importlib.import_module("ART.ModuleOpticalChain")
     ns.mp = importlib.import_module("ART.ModuleProcessing")
     ns.mdet = importlib.import_module("ART.ModuleDetector")
+    ns.mdef = importlib.import_module("ART.ModuleDefects")
     return ns
 
 

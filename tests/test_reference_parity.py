@@ -78,7 +78,7 @@ def _trace_both(our_optics, ref_optics, poses, raylist, wavelength=50e-6):
     return out, ref_out
 
 
-def _assert_ray_parity(out, ref_out, atol_p=1e-9, atol_opl=1e-8):
+def _assert_ray_parity(out, ref_out, atol_p=1e-9, atol_opl=1e-8, atol_inc=1e-10):
     """Survivor sets identical; points/dirs/OPL/incidence allclose per ray."""
     numbers, points, vectors, opl, intensity, incidence = raylist_to_arrays(ref_out)
     alive = np.asarray(out.alive)
@@ -88,7 +88,7 @@ def _assert_ray_parity(out, ref_out, atol_p=1e-9, atol_opl=1e-8):
     np.testing.assert_allclose(np.asarray(out.p)[idx], points[order], atol=atol_p)
     np.testing.assert_allclose(np.asarray(out.d)[idx], vectors[order], atol=1e-11)
     np.testing.assert_allclose(np.asarray(out.opl)[idx], opl[order], atol=atol_opl)
-    np.testing.assert_allclose(np.asarray(out.incidence)[idx], incidence[order], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.incidence)[idx], incidence[order], atol=atol_inc)
 
 
 # ----------------------------------------------------------------- placement
@@ -288,3 +288,99 @@ def test_alignment_gradient_vs_reference_finite_difference():
     h = 5e-4  # degrees
     fd = (ref_spot_var(h) - ref_spot_var(-h)) / (2 * np.deg2rad(h))
     assert np.isclose(grad_roll, fd, rtol=2e-4), (grad_roll, fd)
+
+
+# ------------------------------------------------------------------ defects
+
+
+def test_fourrier_defect_map_parity():
+    """Same NumPy RNG state => the synthesized PSD height map and both
+    spectral-derivative maps match the reference Fourrier generator
+    (ART/ModuleDefects.py:69-146), including the interpolated lookups the
+    tracer consumes. (The ~1e-6 relative envelope is the reference's float32
+    k-grid/phases vs our float64.)"""
+    from attosecondraytracing_tpu.models.defects import Fourrier as OurFourrier
+
+    sup_r = ref.msupp.SupportRectangle(40, 20)
+    sup_t = tsupp.SupportRectangle(40, 20)
+    rms_target = 2e-5
+    np.random.seed(1234)
+    ref_def = ref.mdef.Fourrier(sup_r, RMS=rms_target, slope=-2, smallest=0.5)
+    np.random.seed(1234)
+    our_def = OurFourrier(sup_t, RMS=rms_target, slope=-2, smallest=0.5)
+
+    assert our_def.deformation.shape == ref_def.deformation.shape
+    scale_h = float(np.std(ref_def.deformation))
+    np.testing.assert_allclose(our_def.deformation, ref_def.deformation, atol=1e-5 * scale_h)
+    scale_g = float(np.abs(ref_def.DerivX).max())
+    np.testing.assert_allclose(our_def._slope_x.T, ref_def.DerivX, atol=1e-5 * scale_g)
+    np.testing.assert_allclose(our_def._slope_y.T, ref_def.DerivY, atol=1e-5 * scale_g)
+
+    # interpolated values/slopes at scattered points (what the tracer sees)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.0, 1.0, size=(64, 2)) * [19.0, 9.0]
+    for x, y in pts:
+        h_ref = float(np.asarray(ref_def.get_offset(np.array([x, y, 0.0]))).ravel()[0])
+        np.testing.assert_allclose(our_def.offset_at(x, y), h_ref, atol=1e-5 * scale_h)
+        g_ref = np.asarray(ref_def.DerivInterp(np.array([x, y, 0.0])), dtype=float).ravel()
+        np.testing.assert_allclose(our_def.slopes_at(x, y), g_ref, atol=1e-5 * scale_g)
+
+
+def test_deformed_mirror_fourrier_trace_parity():
+    """CONFIG_deformed's scene shape: plane wave onto a Fourrier-deformed
+    parabola at normal incidence, IgnoreDefects=True (the reference default:
+    intersections shift along the ray by h/cos(alpha) but reflect off the
+    undeformed normal, ART/ModuleMirror.py:969-980 + :933-936)."""
+    from attosecondraytracing_tpu.models.defects import Fourrier as OurFourrier
+
+    sup_r = ref.msupp.SupportRectangle(40, 40)
+    sup_t = tsupp.SupportRectangle(40, 40)
+    np.random.seed(7)
+    d_r = ref.mdef.Fourrier(sup_r, RMS=1e-4, smallest=2.0)
+    np.random.seed(7)
+    d_t = OurFourrier(sup_t, RMS=1e-4, smallest=2.0)
+
+    m_t = tmirror.DeformedMirror(tmirror.MirrorParabolic(25.4, 0.0, sup_t), [d_t])
+    m_r = ref.mmirror.DeformedMirror(ref.mmirror.MirrorParabolic(25.4, 0.0, sup_r), [d_r])
+
+    props = {"Divergence": 0.0, "SourceSize": 30.0, "Wavelength": 50e-6, "DeltaFT": 1.0, "NumberRays": 200}
+    ours = OEPlacement(props, [m_t], [15.0], [0.0])
+    refs = ref.mp.OEPlacement(props, [m_r], [15.0], [0.0])
+    ours.source_rays = _ref_source_to_bundle(refs.source_rays)
+
+    out = ours.trace_final(ignore_defects=True)
+    ref_out = ref.mp.RayTracingCalculation(
+        copy.deepcopy(refs.source_rays), refs.optical_elements, IgnoreDefects=True
+    )[-1]
+    # atol_inc: the on-axis ray hits at exactly normal incidence, where our
+    # arccos(u.n) has the usual sqrt(eps) ~ 1e-8 rad noise floor (the
+    # reference's arctan2 form is exact only there; see ops/trace.py)
+    _assert_ray_parity(out, ref_out, atol_p=1e-8, atol_opl=1e-8, atol_inc=1e-7)
+
+
+def test_deformed_mirror_defect_normal_trace_parity():
+    """IgnoreDefects=False: reflection off the defect-composed normal
+    (ART/ModuleMirror.py:952-961 + ModuleGeometry.py:394-407). Uses a Zernike
+    defect — the one defect type whose get_normal carries the correct sign in
+    the reference (docs/parity.md divergence #3 covers Fourrier/MeasuredMap)."""
+    from attosecondraytracing_tpu.models.defects import Zernike as OurZernike
+
+    coeffs = {(2, 0): 4e-4, (2, 2): -2.5e-4, (3, 1): 1.5e-4}
+    sup_r = ref.msupp.SupportRound(30)
+    sup_t = tsupp.SupportRound(30)
+    d_t = OurZernike(sup_t, coeffs)
+    d_r = ref.mdef.Zernike(sup_r, coeffs)
+
+    m_t = tmirror.DeformedMirror(tmirror.MirrorSpherical(600.0, sup_t), [d_t])
+    m_r = ref.mmirror.DeformedMirror(ref.mmirror.MirrorSpherical(600.0, sup_r), [d_r])
+
+    props = {"Divergence": 20e-3, "SourceSize": 0.0, "Wavelength": 50e-6, "DeltaFT": 1.0, "NumberRays": 150}
+    ours = OEPlacement(props, [m_t], [280.0], [10.0])
+    refs = ref.mp.OEPlacement(props, [m_r], [280.0], [10.0])
+    ours.source_rays = _ref_source_to_bundle(refs.source_rays)
+
+    out = ours.trace_final(ignore_defects=False)
+    ref_out = ref.mp.RayTracingCalculation(
+        copy.deepcopy(refs.source_rays), refs.optical_elements, IgnoreDefects=False
+    )[-1]
+    _assert_ray_parity(out, ref_out, atol_p=1e-8, atol_opl=1e-8)
