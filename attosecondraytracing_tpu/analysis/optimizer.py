@@ -135,15 +135,19 @@ def FindOptimalDistance(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def optimal_shift_closed_form(bundle: RayBundle, centre, normal, rot):
+@partial(jax.jit, static_argnames=("intensity_weighted",))
+def optimal_shift_closed_form(bundle: RayBundle, centre, normal, rot,
+                              intensity_weighted: bool = False):
     """Closed-form detector shift minimizing the spot variance.
 
     On a fixed bundle, each ray's in-plane impact point is affine in the
     detector shift s, so the spot variance is an exact quadratic in s with a
-    unique minimum — no grid search needed. Returns (s*, spot SD at s*).
+    unique minimum — no grid search needed (the weighted case is the same
+    quadratic with weighted moments). Returns (s*, spot SD at s*).
     """
     w = bundle.alive.astype(bundle.p.dtype)
+    if intensity_weighted:
+        w = w * bundle.intensity
     xy0 = stats.detector_points_2d(bundle, centre, normal, rot)
     xy1 = stats.detector_points_2d(bundle, centre - 1.0 * normal, normal, rot)
     g = xy1 - xy0  # d(xy)/ds, exact (affine)

@@ -62,3 +62,35 @@ def test_scan_sharded_2x4_mesh():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         pmesh.make_mesh(rays=3, scan=2)
+
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+                "collective-permute")
+
+
+def test_sharded_trace_is_compute_local():
+    """Rays never interact: the compiled sharded trace must contain no
+    collectives at all (ray state stays on its device); a detector-statistics
+    reduction over the same sharded bundle is what introduces the (scalar)
+    cross-device reduction. Guards the >=90% scaling target of BASELINE.md:
+    any accidental resharding inside the trace would show up here first."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from attosecondraytracing_tpu.ops.trace import trace
+
+    chain = _chain(n_rays=256)
+    mesh = pmesh.make_mesh()  # 1 x 8
+    src = pmesh.shard_bundle(chain.source_rays, mesh)
+    els = jax.device_put(chain.device_elements(), NamedSharding(mesh, P()))
+
+    pure = jax.jit(lambda s, e: trace(s, e, keep_history=False)).lower(src, els).compile()
+    found = [c for c in _COLLECTIVES if c in pure.as_text()]
+    assert not found, f"sharded trace emits collectives: {found}"
+
+    def with_stats(s, e):
+        out = trace(s, e, keep_history=False)
+        return stats.energy_transmission(s, out)
+
+    reduced = jax.jit(with_stats).lower(src, els).compile()
+    found = [c for c in _COLLECTIVES if c in reduced.as_text()]
+    assert found, "expected a cross-device reduction in the statistics step"

@@ -176,3 +176,62 @@ def test_divergence_loop_list_guards_non_point_sources():
     plane_chain = _simple_chain()  # SourceSize=20 -> plane-wave disk source
     with pytest.raises(ValueError, match="point source"):
         plane_chain.get_source_loop_list("divergence", [5e-3])
+
+
+def test_closed_form_shift_property_asymmetric_weighted():
+    """optimal_shift_closed_form must hit the true minimum of the (exactly
+    quadratic) spot variance for an *asymmetric* surviving bundle with
+    non-uniform intensities — both unweighted and intensity-weighted. The
+    dense scan (the reference's search semantics) can only do better than the
+    closed form by grid resolution."""
+    import jax.numpy as jnp
+
+    from attosecondraytracing_tpu.analysis.optimizer import (
+        _scan_fitness,
+        optimal_shift_closed_form,
+    )
+    from attosecondraytracing_tpu.models.detector import Detector
+    from attosecondraytracing_tpu.models import masks as mmask
+
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    # off-centre hole mask -> asymmetric survivor set
+    mask = mmask.Mask(msupp.SupportRoundHole(20, 7, 3.0, 1.0))
+    props = {"Divergence": 20e-3, "SourceSize": 0, "Wavelength": 50e-6,
+             "DeltaFT": 1, "NumberRays": 600}
+    chain = OEPlacement(props, [mask, tor], [300, 200], [0, inc], [0, 0])
+    out = chain.get_output_rays()[-1]
+    # non-uniform intensities (deterministic, strictly positive, asymmetric)
+    rng = np.random.default_rng(3)
+    out = out._replace(intensity=np.asarray(rng.uniform(0.1, 1.0, out.n_rays)))
+
+    det = Detector(chain.optical_elements[-1].position)
+    det.autoplace(out, 2 * focal - 40.0)  # deliberately defocused start
+    centre = jnp.asarray(det.centre)
+    normal = jnp.asarray(det.normal)
+    rot = jnp.asarray(det._plane_rotation())
+
+    s_ref = None
+    for iw in (False, True):
+        s_opt, spot_cf = optimal_shift_closed_form(out, centre, normal, rot,
+                                                   intensity_weighted=iw)
+        s_opt, spot_cf = float(s_opt), float(spot_cf)
+        # dense scan around the closed-form optimum
+        step = 1e-3
+        shifts = s_opt + jnp.arange(-200, 201) * step
+        _, spots, _ = _scan_fitness(out, centre, normal, rot, shifts,
+                                    "spotsize", iw)
+        spots = np.asarray(spots)
+        k = int(np.argmin(spots))
+        # scan minimum coincides with the closed form to grid resolution...
+        assert abs(float(shifts[k]) - s_opt) <= step
+        # ...and can't beat it (exact quadratic => closed form is THE min)
+        assert spot_cf <= spots.min() * (1 + 1e-10)
+        np.testing.assert_allclose(spots[200], spot_cf, rtol=1e-9)
+        if s_ref is None:
+            s_ref = s_opt
+        else:
+            # weighting must actually change the answer on this asymmetric
+            # bundle (guards against the flag being ignored)
+            assert abs(s_opt - s_ref) > 1e-6

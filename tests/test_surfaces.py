@@ -200,3 +200,42 @@ def test_kahan_opl_sign_convention():
     assert err_fixed <= 1.5 * ulp
     assert err_fixed <= err_plain
     assert err_old >= err_plain  # the old sign is strictly worse than no Kahan
+
+
+def test_float32_transmission_error_bound():
+    """Energy transmission is a headline physics output; the f32 fast toroid
+    path may flip individual edge rays' hit/miss, but the resulting
+    transmission-% error must stay below 0.1% absolute on the flagship
+    grazing chain (mask + 2 toroids at 80 deg) with 1e6 rays
+    (reference semantics: getETransmission, ART/ModuleAnalysisAndPlots.py:62-77)."""
+    import jax
+    from attosecondraytracing_tpu.analysis import stats
+    from attosecondraytracing_tpu.models import masks as mmask
+    from attosecondraytracing_tpu.models.placement import OEPlacement
+    from attosecondraytracing_tpu.ops.trace import trace as trace_fn
+
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    mask = mmask.Mask(msupp.SupportRoundHole(20, 7, 0, 0))
+    props = {"Divergence": 25e-3, "SourceSize": 0, "Wavelength": 80e-6,
+             "DeltaFT": 0.5, "NumberRays": 1_000_000}
+    chain = OEPlacement(props, [mask, tor, tor], [400, 100, 500], [0, inc, -inc], [0, 0, 0])
+
+    src64 = chain.source_rays
+    els64 = chain.device_elements()
+    out64 = trace_fn(src64, els64, keep_history=False)
+    et64 = float(stats.energy_transmission(src64, out64))
+
+    src32 = jax.tree.map(
+        lambda x: np.asarray(x).astype(np.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else np.asarray(x),
+        src64,
+    )
+    els32 = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+    out32 = trace_fn(src32, els32, keep_history=False)
+    et32 = float(stats.energy_transmission(src32, out32))
+
+    assert 0.0 < et64 < 100.0  # the mask and the finite supports both clip
+    assert abs(et32 - et64) < 0.1, (et32, et64)
