@@ -146,3 +146,24 @@ def test_draw_mesh_renders_triangulated_surface():
     fig = plots.RayRenderGraph(chain, maxRays=20, OEpoints=500, draw_mesh=True)
     assert fig is not None
     plt.close("all")
+
+
+def test_api_docs_generator(tmp_path, monkeypatch):
+    """The API-doc generator renders every package module without errors and
+    the committed docs/api/index.md is in sync with the module set."""
+    import importlib.util
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_docs", os.path.join(root, "scripts", "gen_api_docs.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    monkeypatch.setattr(gen, "OUT_DIR", str(tmp_path / "api"))
+    gen.main()
+    produced = sorted(p.name for p in (tmp_path / "api").iterdir())
+    assert "index.md" in produced
+    assert "attosecondraytracing_tpu_ops_trace.md" in produced
+    committed = sorted(os.listdir(os.path.join(root, "docs", "api")))
+    assert produced == committed, "docs/api is stale: re-run scripts/gen_api_docs.py"
