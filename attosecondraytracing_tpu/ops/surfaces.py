@@ -35,9 +35,12 @@ HIT_TOL = 1e-3
 _NEWTON_ITERS = 3
 _NEWTON_ITERS_TOROID = 6
 # the osculating-paraboloid seed converges in ONE iteration on every tested
-# geometry (grazing/steep/shallow, scripts/sweep_newton_iters.py); 3 leaves
-# 2x margin while costing ~1/3 of the old sphere-seeded count of 8
-_NEWTON_ITERS_TOROID_FAST = 3
+# geometry (grazing/steep/shallow, scripts/sweep_newton_iters.py), but the
+# validity residual is read from the *final* iteration's pre-correction point
+# (see _polish_candidates), so 2 is the working floor: at 2 the residual is
+# evaluated at the once-corrected (converged) root and results are
+# bit-identical to 3+ on every tested geometry
+_NEWTON_ITERS_TOROID_FAST = 2
 
 import os as _os
 
