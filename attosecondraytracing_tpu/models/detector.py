@@ -89,3 +89,27 @@ class Detector:
         return stats.spot_and_duration(
             bundle, self.centre, self.normal, self._plane_rotation(), intensity_weighted
         )
+
+    def get_Image(self, bundle: RayBundle, bins=(256, 256), extent=None, intensity_weighted=True):
+        """Device-binned intensity image ``(image, (lo, hi))`` — the
+        gather-free equivalent of the reference's SpotDiagram scatter
+        (ART/ModuleAnalysisAndPlots.py:133-280) at any bundle size."""
+        self._iscomplete()
+        from ..analysis.histogram import detector_image
+
+        return detector_image(
+            bundle, self.centre, self.normal, self._plane_rotation(),
+            bins=tuple(bins), extent=extent, intensity_weighted=intensity_weighted,
+        )
+
+    def get_DelayMap(self, bundle: RayBundle, bins=(256, 256), extent=None, intensity_weighted=True):
+        """Device-binned per-pixel mean delay [fs] — the binned DelayGraph
+        (ART/ModuleAnalysisAndPlots.py:284-440). Returns
+        ``(mean_delay, weight_image, (lo, hi))``."""
+        self._iscomplete()
+        from ..analysis.histogram import delay_map
+
+        return delay_map(
+            bundle, self.centre, self.normal, self._plane_rotation(),
+            bins=tuple(bins), extent=extent, intensity_weighted=intensity_weighted,
+        )
