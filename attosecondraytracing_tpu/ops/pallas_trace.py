@@ -39,23 +39,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bundle import RayBundle
-from .trace import MaskElement, MirrorElement, TraceState, state_step
+from .trace import (
+    MaskElement,
+    MirrorElement,
+    TraceState,
+    compose_chain,
+    run_chain_chained,
+)
 
 LANES = 128
 BLOCK_ROWS = 128  # 16384 rays per grid program (fastest of 32..512 on v5e)
 
 
+def bake(x):
+    """Nested python-float tuples from an array: hashable compile-time
+    constants that stay weakly-typed (no f64 upcast) inside an f32 kernel."""
+    arr = np.asarray(x)
+    if arr.ndim == 0:
+        return float(arr)
+    if arr.ndim == 1:
+        return tuple(float(v) for v in arr)
+    return tuple(tuple(float(v) for v in row) for row in arr)
+
+
 def _static_elements(elements):
     """Bake element parameters into nested python-float tuples (compile-time
     constants inside the kernel)."""
-
-    def bake(x):
-        arr = np.asarray(x)
-        if arr.ndim == 0:
-            return float(arr)
-        if arr.ndim == 1:
-            return tuple(float(v) for v in arr)
-        return tuple(tuple(float(v) for v in row) for row in arr)
 
     baked = []
     for el in elements:
@@ -83,14 +92,22 @@ def _static_elements(elements):
     return tuple(baked)
 
 
-def _run_chain(s: TraceState, elements):
-    last = len(elements) - 1
-    for i, el in enumerate(elements):
-        # only the final element's incidence is observable in a no-history
-        # trace (matches trace(keep_history=False)); skipping the acos and
-        # the carried tile for interior elements saves VPU work
-        s = state_step(el, s, want_incidence=(i == last))
-    return s
+def _static_chain(elements):
+    """Baked (elements, per-element composed affine maps, final to-lab map)
+    for the chained-frame kernel (trace.compose_chain)."""
+    baked = _static_elements(elements)
+    maps, final = compose_chain(elements)
+    baked_maps = tuple((bake(M), bake(b)) for M, b in maps)
+    baked_final = tuple(bake(v) for v in final)
+    return baked, baked_maps, baked_final
+
+
+def _run_chain(s: TraceState, elements, maps, final):
+    # chained-frame mode: one rotation per element + one final to-lab map,
+    # incidence only at the last element (matches trace(keep_history=False);
+    # dead rays keep exact lab coordinates — they are re-expressed by every
+    # subsequent frame map)
+    return run_chain_chained(s, elements, maps, final)
 
 
 def _write_outputs(s: TraceState, outs):
@@ -107,7 +124,7 @@ def _write_outputs(s: TraceState, outs):
     oinc[:] = s.incidence
 
 
-def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements):
+def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements, maps, final):
     s = TraceState(
         px=px[:], py=py[:], pz=pz[:],
         dx=dx[:], dy=dy[:], dz=dz[:],
@@ -115,10 +132,10 @@ def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements):
         alive=alive[:] != 0,
         incidence=inc[:],
     )
-    _write_outputs(_run_chain(s, elements), outs)
+    _write_outputs(_run_chain(s, elements, maps, final), outs)
 
 
-def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, n_rays, block_rows):
+def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, maps, final, n_rays, block_rows):
     """Fresh-source variant: opl/opl_c/incidence start at 0 and the alive
     mask is just 'is this lane a real ray or padding', a static comparison of
     the global ray index against n_rays — none of the four needs an HBM
@@ -135,20 +152,21 @@ def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, n_rays, block_rows):
         alive=idx < n_rays,
         incidence=zeros,
     )
-    _write_outputs(_run_chain(s, elements), outs)
+    _write_outputs(_run_chain(s, elements, maps, final), outs)
 
 
-@partial(jax.jit, static_argnames=("elements", "block_rows", "interpret", "fresh", "n_rays"))
-def _pallas_trace_padded(comps, elements, block_rows, interpret, fresh=False, n_rays=0):
+@partial(jax.jit, static_argnames=("elements", "maps", "final", "block_rows", "interpret", "fresh", "n_rays"))
+def _pallas_trace_padded(comps, elements, maps, final, block_rows, interpret, fresh=False, n_rays=0):
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
     fspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dtype = comps[0].dtype
     if fresh:
-        kernel = partial(_kernel_fresh, elements=elements, n_rays=n_rays, block_rows=block_rows)
+        kernel = partial(_kernel_fresh, elements=elements, maps=maps, final=final,
+                         n_rays=n_rays, block_rows=block_rows)
         in_specs = [fspec] * 6  # px..dz only
     else:
-        kernel = partial(_kernel, elements=elements)
+        kernel = partial(_kernel, elements=elements, maps=maps, final=final)
         in_specs = [fspec] * 8 + [fspec, fspec]  # px..dz, opl, opl_c, alive(int8), incidence
     n_f32 = 8  # px..dz, opl, opl_c
     out_specs = tuple([fspec] * n_f32 + [fspec, fspec])
@@ -199,7 +217,7 @@ def pallas_trace(
     ``fresh=None`` auto-detects whether the source is untouched (all alive,
     zero opl/incidence) and, if so, skips streaming those inputs from HBM.
     """
-    baked = _static_elements(elements)
+    baked, maps, final = _static_chain(elements)
     n = source.n_rays
     tile = block_rows * LANES
     n_pad = ((n + tile - 1) // tile) * tile
@@ -224,8 +242,8 @@ def pallas_trace(
     # padding rays must have a finite direction; they are dead via the alive
     # mask (streamed, or the fresh path's static index comparison)
     interpret = jax.default_backend() == "cpu"
-    outs = _pallas_trace_padded(tuple(comps), baked, block_rows, interpret,
-                                fresh=fresh, n_rays=n)
+    outs = _pallas_trace_padded(tuple(comps), baked, maps, final, block_rows,
+                                interpret, fresh=fresh, n_rays=n)
     (opx, opy, opz, odx, ody, odz, oopl, oopl_c, oalive, oinc) = outs
 
     def unprep(x):

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import supports as sup
 from . import surfaces as srf
@@ -155,9 +156,9 @@ def mirror_step_c(
     want_incidence: bool = True,
 ) -> TraceState:
     (qx, qy, qz), (ux, uy, uz) = _to_local_c(element, s)
-    t, hit = srf.intersect_c(element.surface, element.support, (qx, qy, qz), (ux, uy, uz))
 
     if element.defects:
+        t, hit = srf.intersect_c(element.surface, element.support, (qx, qy, qz), (ux, uy, uz))
         # shift the hit along the ray by the local height error
         # (ART/ModuleMirror.py:969-980)
         x0, y0, z0 = qx + t * ux, qy + t * uy, qz + t * uz
@@ -168,9 +169,14 @@ def mirror_step_c(
             h = h + defect_offset(defect, x0 - cen[0], y0 - cen[1])
         cos_alpha = jnp.clip(-(ux * n0x + uy * n0y + uz * n0z), 1e-6, None)
         t = t - h / cos_alpha
-
-    x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
-    nx, ny, nz = srf.normal_c(element.surface, x, y, z)
+        x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
+        nx, ny, nz = srf.normal_c(element.surface, x, y, z)
+    else:
+        # fused hot path: intersection, hit point, and normal share the final
+        # Newton evaluation (see surfaces.intersect_with_normal_c)
+        t, hit, (nx, ny, nz), (x, y, z) = srf.intersect_with_normal_c(
+            element.surface, element.support, (qx, qy, qz), (ux, uy, uz)
+        )
 
     if element.defects and not ignore_defects:
         # compose base normal with defect slopes (ART/ModuleGeometry.py:394-407)
@@ -270,6 +276,141 @@ def trace_step(element, bundle: RayBundle, ignore_defects: bool = True) -> RayBu
     if isinstance(element, MaskElement):
         return _mask_step(element, bundle)
     raise TypeError(f"unknown element type {type(element)}")
+
+
+# ---------------------------------------------------------------------------
+# chained-frame trace: one rotation per element instead of two
+# ---------------------------------------------------------------------------
+
+
+def compose_chain(elements):
+    """Compose the per-element frame round-trips of a chain into one affine
+    map per element plus a final to-lab map.
+
+    The plain trace applies lab->optic then optic->lab around every element
+    (two 3x3 rotations of both p and d per element, the analogue of
+    ART/ModuleProcessing.py:288-309). Since element k's output frame feeds
+    element k+1's input, the pair collapses to a single rotation
+    ``M_k = R_{k+1} R_k^T`` with offset ``b_k``: ray state stays in each
+    element's *local* frame through the chain and returns to the lab frame
+    once at the end. Halves the transform arithmetic — the largest single
+    compute block in the fused kernel.
+
+    Float32 conditioning: the state handed between elements is kept
+    *patch-relative* (hit point minus the element's ``centre``) — tens of mm
+    instead of the ~1e3 mm surface-frame coordinates — so the 3x3 map runs on
+    small numbers and the one large translation is a single baked constant
+    ``b`` (computed here in float64). This matches the plain trace's rounding
+    behaviour (its ``x - cen`` happens before any rotation too).
+
+    Returns ``(maps, final)`` where ``maps[k] = (M, b)`` takes the
+    patch-relative frame k-1 state (frame -1 = lab absolute) to element k's
+    surface frame, and ``final = (R_K, pos_K)`` takes the patch-relative
+    frame K state back to lab. Inputs may be jnp/NumPy arrays or baked
+    python-float tuples (host numpy math; the results enter jit as
+    constants)."""
+
+    def rot(el):
+        return np.asarray(el.rot, dtype=np.float64)
+
+    def cen(el):
+        if isinstance(el, MirrorElement):
+            return np.asarray(el.centre, dtype=np.float64)
+        return np.zeros(3)
+
+    def pos(el):
+        return np.asarray(el.position, dtype=np.float64)
+
+    maps = []
+    prev = None
+    for el in elements:
+        R = rot(el)
+        if prev is None:
+            M = R
+            b = -R @ pos(el) + cen(el)
+        else:
+            M = R @ rot(prev).T
+            b = R @ (pos(prev) - pos(el)) + cen(el)
+        maps.append((M, b))
+        prev = el
+    final = (rot(prev), pos(prev))
+    return maps, final
+
+
+def _affine_c(M, b, px, py, pz, dx, dy, dz):
+    qx = M[0][0] * px + M[0][1] * py + M[0][2] * pz + b[0]
+    qy = M[1][0] * px + M[1][1] * py + M[1][2] * pz + b[1]
+    qz = M[2][0] * px + M[2][1] * py + M[2][2] * pz + b[2]
+    ux = M[0][0] * dx + M[0][1] * dy + M[0][2] * dz
+    uy = M[1][0] * dx + M[1][1] * dy + M[1][2] * dz
+    uz = M[2][0] * dx + M[2][1] * dy + M[2][2] * dz
+    return (qx, qy, qz), (ux, uy, uz)
+
+
+def chained_step(element, M, b, s: TraceState, want_incidence: bool) -> TraceState:
+    """One element step in chained-frame mode: input state patch-relative to
+    the previous element (lab absolute for the first), output patch-relative
+    to THIS element. Dead rays keep their coordinates and are re-expressed by
+    every subsequent map, so their final lab position is preserved exactly
+    like the plain trace."""
+    (qx, qy, qz), (ux, uy, uz) = _affine_c(
+        M, b, s.px, s.py, s.pz, s.dx, s.dy, s.dz
+    )
+    if isinstance(element, MaskElement):
+        cen = (0.0, 0.0, 0.0)
+        t = -qz / jnp.where(jnp.abs(uz) > 1e-30, uz, jnp.inf)
+        x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
+        on_support = sup.include(element.support, x, y)
+        valid = (t > T_EPS) & ~on_support
+        rx, ry, rz = ux, uy, uz
+        dn = -uz  # mask incidence uses +u: acos(uz)
+    else:
+        cen = element.centre
+        t, valid, (nx, ny, nz), (x, y, z) = srf.intersect_with_normal_c(
+            element.surface, element.support, (qx, qy, qz), (ux, uy, uz)
+        )
+        dn = ux * nx + uy * ny + uz * nz
+        rx, ry, rz = ux - 2.0 * dn * nx, uy - 2.0 * dn * ny, uz - 2.0 * dn * nz
+    upd = s.alive & valid
+    inc_out = jnp.where(upd, _acos(-dn), s.incidence) if want_incidence else s.incidence
+    opl, opl_c = kahan_add(s.opl, s.opl_c, jnp.where(upd, t, 0.0))
+    # hand off patch-relative coordinates: x (or the frozen q) is within the
+    # support's extent of cen, so the subtraction is nearly exact and the next
+    # 3x3 map operates on small numbers (float32 conditioning; see
+    # compose_chain)
+    return TraceState(
+        px=jnp.where(upd, x, qx) - cen[0],
+        py=jnp.where(upd, y, qy) - cen[1],
+        pz=jnp.where(upd, z, qz) - cen[2],
+        dx=jnp.where(upd, rx, ux),
+        dy=jnp.where(upd, ry, uy),
+        dz=jnp.where(upd, rz, uz),
+        opl=opl,
+        opl_c=opl_c,
+        alive=upd,
+        incidence=inc_out,
+    )
+
+
+def run_chain_chained(s: TraceState, elements, maps, final) -> TraceState:
+    """Run a whole chain in chained-frame mode and restore lab coordinates.
+    Equivalent to folding state_step over the chain with
+    ``keep_history=False`` (incidence computed only at the last element)."""
+    last = len(elements) - 1
+    for i, (el, (M, b)) in enumerate(zip(elements, maps)):
+        s = chained_step(el, M, b, s, want_incidence=(i == last))
+    R_K, pos_K = final
+    # p_lab = R_K^T x + pos_K ; d_lab = R_K^T d  (x already patch-relative)
+    x = s.px
+    y = s.py
+    z = s.pz
+    px = R_K[0][0] * x + R_K[1][0] * y + R_K[2][0] * z + pos_K[0]
+    py = R_K[0][1] * x + R_K[1][1] * y + R_K[2][1] * z + pos_K[1]
+    pz = R_K[0][2] * x + R_K[1][2] * y + R_K[2][2] * z + pos_K[2]
+    dx = R_K[0][0] * s.dx + R_K[1][0] * s.dy + R_K[2][0] * s.dz
+    dy = R_K[0][1] * s.dx + R_K[1][1] * s.dy + R_K[2][1] * s.dz
+    dz = R_K[0][2] * s.dx + R_K[1][2] * s.dy + R_K[2][2] * s.dz
+    return s._replace(px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz)
 
 
 def trace(

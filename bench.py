@@ -151,7 +151,7 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
         return compiled_xla[reps](src)
 
     # --- Pallas path: fused whole-chain kernel, fresh-source variant -------
-    baked = pt._static_elements(elements)
+    baked, maps, final = pt._static_chain(elements)
     tile = pt.BLOCK_ROWS * pt.LANES
     n_pad = ((n_rays + tile - 1) // tile) * tile
 
@@ -171,8 +171,8 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
         for i in range(reps):
             c = (comps[0] + (i + 1) * 1e-30,) + comps[1:]
             outs = pt._pallas_trace_padded(
-                c, baked, pt.BLOCK_ROWS, jax.default_backend() == "cpu",
-                fresh=True, n_rays=n_rays)
+                c, baked, maps, final, pt.BLOCK_ROWS,
+                jax.default_backend() == "cpu", fresh=True, n_rays=n_rays)
             for o in outs:
                 acc = acc + o.astype(jnp.float32).sum()
         return acc
