@@ -19,18 +19,26 @@ blocks of (BLOCK_ROWS, 128) — rays on the 128-wide lane axis, full VPU
 utilization. Grid-defect interpolation (gathers) is not supported in-kernel;
 chains with defects fall back to the XLA path.
 
-HBM traffic: a *fresh* source (opl = opl_c = incidence = 0, all rays alive —
-every bundle coming straight from a Source factory) skips those four input
-streams entirely; the kernel synthesizes them from compile-time constants and
-a row iota (the alive mask of the padding tail is a static index comparison).
-That cuts the read side from 37 to 24 bytes/ray, ~18% of total traffic at
-the HBM roofline. Detected automatically on concrete (non-traced) bundles;
-force with ``fresh=True/False``.
+Frames: the kernel runs the chain in *chained-frame* mode
+(trace.compose_chain): one composed 3x3 affine per element instead of a
+lab round-trip of two rotations, with patch-relative handoff for float32
+conditioning. The composed maps are baked constants.
+
+HBM traffic, in escalating order of fusion:
+* streamed (mid-chain bundles): 37 B/ray read + 37 B/ray written;
+* *fresh* source (opl = opl_c = incidence = 0, all alive — any bundle
+  straight from a Source factory; auto-detected, force with ``fresh=``):
+  the four bookkeeping streams are synthesized in-kernel from a row iota,
+  24 B/ray read;
+* :func:`pallas_trace_source`: the whole Vogel-spiral source (point cone or
+  plane-wave disk) is synthesized in-kernel from the ray index — zero
+  per-ray HBM reads, and no 1e7-ray source bundle ever materializes.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +56,8 @@ from .trace import (
 )
 
 LANES = 128
-BLOCK_ROWS = 128  # 16384 rays per grid program (fastest of 32..512 on v5e)
+BLOCK_ROWS = 64  # 8192 rays per grid program (fastest of 32..512 on v5e;
+                 # re-swept after the chained-frame rework, scripts/bench_pallas_vs_xla.py)
 
 
 def bake(x):
@@ -182,6 +191,235 @@ def _pallas_trace_padded(comps, elements, maps, final, block_rows, interpret, fr
         out_shape=out_shape,
         interpret=interpret,  # CPU CI has no Mosaic backend
     )(*comps)
+
+
+# ---------------------------------------------------------------------------
+# fused-source kernel: synthesize the Vogel-spiral source in-kernel
+# ---------------------------------------------------------------------------
+
+#: golden-ratio turn fraction 1 - 1/phi and its 2^8 / 2^16 multiples mod 1,
+#: so frac(k * phi) splits into exact small-float products (see _vogel_xy_c)
+_PHI_FRAC = 0.3819660112501051
+_PHI_G = tuple(float(np.mod(_PHI_FRAC * 256.0**i, 1.0)) for i in range(3))
+
+# minimax-fit sin(pi x) / cos(pi x) on [-1, 1] (max err ~1e-9, below f32;
+# regenerate: least-squares on cos-spaced nodes, see commit message)
+_SIN_PI = (3.1415926362231827, -5.16771212974953, 2.550156988459466,
+           -0.599230762176276, 0.08206264637303859, -0.007259921822795766,
+           0.00039054382726498024)
+_COS_PI = (0.999999999885547, -4.934802185862838, 4.058711817231867,
+           -1.3352602860924583, 0.2353208253010271, -0.025785808393817295,
+           0.0019043286626063097, -8.869084444024393e-05)
+
+
+def _sincos_pi(x):
+    """(sin(pi x), cos(pi x)) for x in [-1, 1] via even/odd polynomials —
+    pure mul/add, guaranteed to lower in Mosaic (which has no sin/cos)."""
+    x2 = x * x
+    s = jnp.asarray(_SIN_PI[-1], x.dtype)
+    for c in _SIN_PI[-2::-1]:
+        s = s * x2 + c
+    s = s * x
+    c_ = jnp.asarray(_COS_PI[-1], x.dtype)
+    for c in _COS_PI[-2::-1]:
+        c_ = c_ * x2 + c
+    return s, c_
+
+
+def _vogel_xy_c(kf, n_rays: int, radius: float, phase=0.0):
+    """Vogel-spiral coordinates from exact-integer-valued float ray indices
+    ``kf`` (component form, in-kernel safe: float ops only).
+
+    The golden angle ``frac(k * phi)`` is computed by splitting k into base-256
+    digits so every product is exactly representable in float32 and the final
+    frac() loses at most ~6e-5 turns (~4e-4 rad of spiral phase — irrelevant
+    to the spiral's equidistribution, and *identical* in the plain-jnp
+    builder, so kernel and reference agree bit-for-bit). Radii are exact:
+    ``radius * sqrt(k / N)`` (host Vogel semantics, ops/host_geometry.py)."""
+    if n_rays >= 1 << 24:
+        raise ValueError("fused-source kernel requires n_rays < 2^24 per trace")
+    a = jnp.floor(kf * (1.0 / 65536.0))
+    rem = kf - a * 65536.0
+    b = jnp.floor(rem * (1.0 / 256.0))
+    c = rem - b * 256.0
+    tt = a * _PHI_G[2] + b * _PHI_G[1] + c * _PHI_G[0] + phase
+    fr = tt - jnp.floor(tt)  # theta in turns, [0, 1)
+    x = 2.0 * fr - 1.0       # [-1, 1): theta = pi (x + 1)
+    s, co = _sincos_pi(x)
+    r = radius * jnp.sqrt(kf * (1.0 / n_rays))
+    return -r * co, -r * s   # (r cos theta, r sin theta)
+
+
+class BakedSource(NamedTuple):
+    """Compile-time description of an in-kernel source (canonical frame:
+    beam along +z; ``rot``/``origin`` place it in the lab)."""
+
+    kind: str       # 'cone' (point source) | 'disk' (plane-wave disk)
+    rot: tuple      # 3x3 canonical->lab rotation
+    origin: tuple   # lab-frame source point / disk centre
+    radius: float   # tan(divergence) for 'cone', beam radius [mm] for 'disk'
+
+
+def _source_maps(source: BakedSource, elements):
+    """Chain maps whose first map takes *canonical source frame* coordinates
+    straight into element 0's surface frame (folding the source rotation and
+    origin into the baked affine — the kernel never touches lab frames)."""
+    maps, final = compose_chain(elements)
+    M0, _ = maps[0]
+    R0 = np.asarray(M0, dtype=np.float64)
+    Rs = np.asarray(source.rot, dtype=np.float64)
+    el0 = elements[0]
+    pos0 = np.asarray(el0.position, dtype=np.float64)
+    cen0 = (
+        np.asarray(el0.centre, dtype=np.float64)
+        if isinstance(el0, MirrorElement) else np.zeros(3)
+    )
+    M = R0 @ Rs
+    b = R0 @ (np.asarray(source.origin, dtype=np.float64) - pos0) + cen0
+    maps = [(M, b)] + list(maps[1:])
+    baked_maps = tuple((bake(Mm), bake(bb)) for Mm, bb in maps)
+    baked_final = tuple(bake(v) for v in final)
+    return baked_maps, baked_final
+
+
+def _kernel_source(phase, *outs, source, elements, maps, final, n_rays, block_rows):
+    """Near-zero-input kernel: the source bundle is synthesized from the ray
+    index (iota), so the trace reads nothing per-ray from HBM — only the
+    traced bundle is written (~40% of the fused kernel's HBM traffic was the
+    read side). The one scalar input is a spiral phase offset [turns] for
+    decorrelated Monte-Carlo source realizations."""
+    shape = (block_rows, LANES)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = (pl.program_id(0) * block_rows + rows) * LANES + lanes
+    kf = idx.astype(jnp.float32)
+    cx, cy = _vogel_xy_c(kf, n_rays, source.radius, phase[0])
+    zeros = jnp.zeros(shape, dtype=jnp.float32)
+    ones = jnp.ones(shape, dtype=jnp.float32)
+    if source.kind == "cone":
+        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
+        px, py, pz = zeros, zeros, zeros
+        dx, dy, dz = cx * inv, cy * inv, inv
+    else:  # 'disk': parallel rays on the spiral
+        px, py, pz = cx, cy, zeros
+        dx, dy, dz = zeros, zeros, ones
+    s = TraceState(
+        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        opl=zeros, opl_c=zeros,
+        alive=idx < n_rays,
+        incidence=zeros,
+    )
+    _write_outputs(_run_chain(s, elements, maps, final), outs)
+
+
+@partial(jax.jit, static_argnames=("source", "elements", "maps", "final",
+                                   "block_rows", "interpret", "n_rays", "rows"))
+def _pallas_trace_source_padded(phase, source, elements, maps, final,
+                                block_rows, interpret, n_rays, rows):
+    grid = (rows // block_rows,)
+    fspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = partial(_kernel_source, source=source, elements=elements,
+                     maps=maps, final=final, n_rays=n_rays, block_rows=block_rows)
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 8
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
+           jax.ShapeDtypeStruct((rows, LANES), jnp.float32)]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[sspec],
+        out_specs=tuple([fspec] * 10),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(phase, jnp.float32).reshape(1))
+
+
+def make_source_spec(kind: str, S, Axis, param: float) -> BakedSource:
+    """BakedSource from reference-style source arguments.
+
+    ``kind='cone'``: point source at ``S`` with half-divergence ``param``
+    [rad] (ART PointSource, ModuleSource.py:54-81). ``kind='disk'``:
+    plane-wave disk of radius ``param`` [mm] centred at ``S`` (ART
+    PlaneWaveDisk, ModuleSource.py:135-169)."""
+    from .host_geometry import rotation_from_to
+
+    axis = np.asarray(Axis, dtype=np.float64)
+    axis = axis / np.linalg.norm(axis)
+    # canonical->lab: p_lab = R p_c (sources._finish applies points @ R.T)
+    rot = rotation_from_to(np.array([0.0, 0.0, 1.0]), axis)
+    radius = float(np.tan(param)) if kind == "cone" else float(param)
+    return BakedSource(kind=kind, rot=bake(rot), origin=bake(np.asarray(S, float)),
+                       radius=radius)
+
+
+def source_bundle(spec: BakedSource, n_rays: int, wavelength=50e-6, phase=0.0) -> RayBundle:
+    """Plain-jnp builder of the exact bundle the fused-source kernel
+    synthesizes (same float32 formulas), for tests and for consumers that
+    need the source side (e.g. the transmission denominator)."""
+    kf = jnp.arange(n_rays, dtype=jnp.float32)
+    cx, cy = _vogel_xy_c(kf, n_rays, spec.radius, jnp.float32(phase))
+    zeros = jnp.zeros((n_rays,), dtype=jnp.float32)
+    if spec.kind == "cone":
+        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
+        p = jnp.zeros((n_rays, 3), dtype=jnp.float32)
+        d = jnp.stack([cx * inv, cy * inv, inv], axis=-1)
+    else:
+        p = jnp.stack([cx, cy, zeros], axis=-1)
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n_rays, 3))
+    rot = jnp.asarray(spec.rot, jnp.float32)
+    origin = jnp.asarray(spec.origin, jnp.float32)
+    return RayBundle(
+        p=p @ rot.T + origin,
+        d=d @ rot.T,
+        opl=zeros, opl_c=zeros,
+        alive=jnp.ones((n_rays,), dtype=bool),
+        intensity=jnp.ones((n_rays,), dtype=jnp.float32),
+        incidence=zeros,
+        wavelength=jnp.asarray(wavelength, jnp.float32),
+    )
+
+
+def pallas_trace_source(
+    spec: BakedSource,
+    elements,
+    n_rays: int,
+    wavelength=50e-6,
+    block_rows: int = BLOCK_ROWS,
+    phase=0.0,
+) -> RayBundle:
+    """Trace ``n_rays`` from an in-kernel-synthesized source through
+    ``elements``; the kernel reads zero bytes from HBM (the source is pure
+    math from the ray index — replaces streaming a 240 MB bundle at 1e7
+    rays). Returns the final bundle (no history); same caveats as
+    :func:`pallas_trace`. Intensities are uniform 1.0 — apply Gaussian
+    weights downstream if needed (they multiply, the trace never reads
+    them)."""
+    baked = _static_elements(elements)
+    maps, final = _source_maps(spec, elements)
+    tile = block_rows * LANES
+    n_pad = ((n_rays + tile - 1) // tile) * tile
+    interpret = jax.default_backend() == "cpu"
+    outs = _pallas_trace_source_padded(
+        phase, spec, baked, maps, final, block_rows, interpret, n_rays,
+        n_pad // LANES
+    )
+    (opx, opy, opz, odx, ody, odz, oopl, oopl_c, oalive, oinc) = outs
+
+    def unprep(x):
+        return x.reshape(-1)[:n_rays]
+
+    return RayBundle(
+        p=jnp.stack([unprep(opx), unprep(opy), unprep(opz)], axis=-1),
+        d=jnp.stack([unprep(odx), unprep(ody), unprep(odz)], axis=-1),
+        opl=unprep(oopl),
+        opl_c=unprep(oopl_c),
+        alive=unprep(oalive) != 0,
+        intensity=jnp.ones((n_rays,), dtype=jnp.float32),
+        incidence=unprep(oinc),
+        wavelength=jnp.asarray(wavelength, jnp.float32),
+    )
 
 
 def _is_fresh(source: RayBundle) -> bool:

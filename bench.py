@@ -17,6 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
+DIVERGENCE = 50e-3 / 2  # flagship source half-DIVERGENCE [rad]
+WAVELENGTH = 80e-6      # [mm]
+
+
 def build(n_rays: int):
     from __graft_entry__ import _flagship_chain, _to_f32
 
@@ -37,15 +41,12 @@ def build_device(n_rays: int):
     chain = _flagship_chain(16)  # placement/elements only
     elements = _to_f32(chain.device_elements())
 
-    divergence = 50e-3 / 2
-    wavelength = 80e-6
-
     @jax.jit
     def make_source():
         dt = jnp.float32
         k = jnp.arange(n_rays, dtype=dt)
         golden = np.pi * (3.0 - np.sqrt(5.0))
-        r = jnp.sqrt(k / n_rays) * np.tan(divergence)
+        r = jnp.sqrt(k / n_rays) * np.tan(DIVERGENCE)
         th = golden * k
         # cone around +z, then rotate z->x (the flagship source axis)
         cx = r * jnp.cos(th)
@@ -55,7 +56,7 @@ def build_device(n_rays: int):
         d = jnp.stack([inv, cy * inv, -cx * inv], axis=-1)
         # Gaussian intensity vs angle, 1/e^2 at the edge (tan(angle) = r)
         ang = jnp.arctan(r)
-        intensity = jnp.exp((jnp.tan(ang) / np.tan(divergence)) ** 2 * np.log(1 / np.e**2))
+        intensity = jnp.exp((jnp.tan(ang) / np.tan(DIVERGENCE)) ** 2 * np.log(1 / np.e**2))
         zeros = jnp.zeros((n_rays,), dtype=dt)
         return RayBundle(
             p=jnp.zeros((n_rays, 3), dtype=dt),
@@ -65,7 +66,7 @@ def build_device(n_rays: int):
             alive=jnp.ones((n_rays,), dtype=bool),
             intensity=intensity,
             incidence=zeros,
-            wavelength=jnp.asarray(wavelength, dtype=dt),
+            wavelength=jnp.asarray(WAVELENGTH, dtype=dt),
         )
 
     source = make_source()
@@ -177,7 +178,27 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
                 acc = acc + o.astype(jnp.float32).sum()
         return acc
 
+    # --- Pallas fused-source path: zero per-ray HBM reads -------------------
+    spec = pt.make_source_spec("cone", np.zeros(3), np.array([1.0, 0, 0]), DIVERGENCE)
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def step_src(phase, reps: int):
+        acc = jnp.asarray(0.0, jnp.float32)
+        for i in range(reps):
+            # per-iteration spiral phase defeats CSE across the unrolled reps
+            out = pt.pallas_trace_source(spec, elements, n_rays,
+                                         wavelength=WAVELENGTH,
+                                         phase=phase + i * 1e-7)
+            for leaf in (out.p, out.d, out.opl, out.opl_c, out.incidence):
+                acc = acc + leaf.astype(jnp.float32).sum()
+            acc = acc + out.alive.sum().astype(jnp.float32)
+        return acc
+
     results = {}
+    results["pallas_src"] = _slope_time(step_src, jnp.float32(0.0), rounds=iters,
+                                        verbose=verbose, label="pallas_src")
+    if verbose:
+        print(f"# pallas_src: {results['pallas_src']*1e3:.3f} ms/trace", file=sys.stderr)
     results["pallas"] = _slope_time(step_pallas, comps, rounds=iters,
                                     verbose=verbose, label="pallas")
     if verbose:
@@ -199,6 +220,7 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
                 "path": path,
                 "xla_rays_per_second": n_rays / results["xla"],
                 "pallas_rays_per_second": n_rays / results["pallas"],
+                "pallas_src_rays_per_second": n_rays / results["pallas_src"],
             }
         )
     )

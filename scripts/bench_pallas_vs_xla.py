@@ -87,9 +87,9 @@ def main(n_rays=10_000_000, iters=6):
         print(f"{label}: {dt*1e3:.3f} ms/trace -> {n_rays/dt/1e9:.3f} Grays/s")
         return dt
 
-    for br in (128, 256, 512):
+    for br in (32, 64, 128, 256, 512):
         bench_fn(make_step_pallas(br, True), comps6, f"pallas fresh br={br}")
-    bench_fn(make_step_pallas(256, False), comps10, "pallas strm  br=256")
+    bench_fn(make_step_pallas(128, False), comps10, "pallas strm  br=128")
     bench_fn(step_xla_compiled, source, "xla                ")
 
 
