@@ -130,6 +130,89 @@ def FindOptimalDistance(
     return det, opt_spot, opt_duration
 
 
+def FindOptimalDistancePallas(
+    spec,
+    elements,
+    n_rays: int,
+    Detector,
+    OptFor: str = "intensity",
+    Amplitude: float | None = None,
+    Precision: int = 3,
+    gaussian_edge: float | None = None,
+    verbose: bool = False,
+):
+    """Detector-distance optimization without ever materializing the bundle:
+    each refinement level is ONE fused trace->stats kernel pass
+    (ops.pallas_trace.pallas_source_detector_stats) evaluating all ~20
+    candidate distances — the reference's whole
+    `_FindOptimalDistanceBIS` scan round (ART/ModuleProcessing.py:317-366)
+    per launch, at any ray count (1e7 rays x 20 distances in ~2.6 ms on
+    v5e).
+
+    ``spec`` is an ops.pallas_trace.BakedSource; ``Detector`` supplies the
+    starting plane. Same refinement schedule and OptFor semantics as
+    :func:`FindOptimalDistance`. Gaussian source weighting via
+    ``gaussian_edge`` (the ApplyGaussianIntensityToRayList edge value).
+    Duration readings carry the stats kernel's ~0.6 fs float32 noise floor.
+
+    Returns (optimal Detector copy, spot SD [mm], duration SD [fs]).
+    """
+    from ..ops.pallas_trace import pallas_source_detector_stats, source_bundle
+    from ..ops.trace import trace
+
+    if OptFor not in _OPTFOR_ALIASES:
+        raise NameError(
+            "OptFor must be one of 'intensity', 'spotsize'/'size', or 'duration'."
+        )
+    opt_for = _OPTFOR_ALIASES[OptFor]
+
+    det = Detector.copy_detector()
+    first_distance = det.get_distance()
+    if Amplitude is None:
+        probe = source_bundle(spec, min(n_rays, 4096))
+        out = trace(probe, elements, keep_history=False)
+        xy = det.get_PointList2D(out)
+        w = out.alive.astype(xy.dtype)
+        size_spot = 2.0 * float(stats.std_points(xy, w))
+        na = float(stats.numerical_aperture(out))
+        Amplitude = min(4 * np.ceil(size_spot / np.tan(np.arcsin(min(na, 1.0)))), first_distance)
+    amplitude = float(Amplitude)
+    step = amplitude / 10.0
+
+    rot = det._plane_rotation()
+    base_shift = 0.0
+    opt_spot = np.nan
+    opt_duration = np.nan
+    for k in range(Precision + 1):
+        amp_k = amplitude * 0.1**k
+        step_k = step * 0.1**k
+        n = int(2 * amp_k / step_k)
+        shifts = base_shift + (-amp_k + step_k * np.arange(n))
+        res = pallas_source_detector_stats(
+            spec, elements, n_rays, det.centre, det.normal, rot,
+            distances=tuple(float(s) for s in shifts),
+            gaussian_edge=gaussian_edge,
+        )
+        if opt_for == "intensity":
+            fitness = res["spot_sd"] ** 2 * res["duration_sd"]
+        elif opt_for == "duration":
+            fitness = res["duration_sd"]
+        else:
+            fitness = res["spot_sd"]
+        ind = int(np.argmin(fitness))
+        base_shift = float(shifts[ind])
+        opt_spot = float(res["spot_sd"][ind])
+        opt_duration = float(res["duration_sd"][ind])
+
+    det.shiftByDistance(base_shift)
+    if verbose:
+        print(
+            f"Optimal detector distance {det.get_distance():.3f} mm "
+            f"(spot {opt_spot * 1e3:.3g} um, duration {opt_duration:.3g} fs)"
+        )
+    return det, opt_spot, opt_duration
+
+
 # ---------------------------------------------------------------------------
 # closed-form focus finder (TPU-native fast path)
 # ---------------------------------------------------------------------------

@@ -51,6 +51,7 @@ from .trace import (
     MaskElement,
     MirrorElement,
     TraceState,
+    chained_step,
     compose_chain,
     run_chain_chained,
 )
@@ -420,6 +421,262 @@ def pallas_trace_source(
         incidence=unprep(oinc),
         wavelength=jnp.asarray(wavelength, jnp.float32),
     )
+
+
+# ---------------------------------------------------------------------------
+# fused trace -> detector statistics kernel
+# ---------------------------------------------------------------------------
+
+
+class BakedDetector(NamedTuple):
+    """Detector plane expressed in the LAST element's patch-relative frame
+    (so the kernel never returns to lab coordinates): ``centre``/``normal``
+    are the plane, ``e1``/``e2`` the in-plane axes of the detector frame
+    (rows of the host Detector's plane rotation), ``distances`` the scan
+    offsets along -normal (Detector.shiftByDistance semantics), ``opl_ref``
+    a chief-ray reference path subtracted before squaring so float32
+    delay accumulation never squares metre-scale numbers."""
+
+    centre: tuple
+    normal: tuple
+    e1: tuple
+    e2: tuple
+    distances: tuple
+    opl_ref: float
+    #: per-distance chief-ray leg increment subtracted in-kernel so the
+    #: accumulated delays stay fs-scale at EVERY scan position (shifting the
+    #: detector by d mm shifts every delay by ~d mm; squaring that in f32
+    #: would drown the fs-scale variance)
+    delay_offsets: tuple = ()
+
+
+def bake_detector(elements, det_centre, det_normal, det_rot,
+                  distances=(0.0,), opl_ref=0.0, delay_offsets=None) -> BakedDetector:
+    """Express a lab-frame detector plane in the final element's
+    patch-relative frame (see run_chain_chained's output convention:
+    p_lab = R_K^T x_rel + pos_K)."""
+    _, final = compose_chain(elements)
+    R_K, pos_K = final
+    R_K = np.asarray(R_K, dtype=np.float64)
+    c_rel = R_K @ (np.asarray(det_centre, np.float64) - np.asarray(pos_K, np.float64))
+    n_rel = R_K @ np.asarray(det_normal, np.float64)
+    rot = np.asarray(det_rot, np.float64)
+    e1 = R_K @ rot[0]
+    e2 = R_K @ rot[1]
+    if delay_offsets is None:
+        delay_offsets = (0.0,) * len(distances)
+    return BakedDetector(
+        centre=bake(c_rel), normal=bake(n_rel), e1=bake(e1), e2=bake(e2),
+        distances=tuple(float(d) for d in distances), opl_ref=float(opl_ref),
+        delay_offsets=tuple(float(v) for v in delay_offsets),
+    )
+
+
+#: per-distance statistics accumulated by the stats kernel, in output order
+STATS_FIELDS = ("w", "wx", "wy", "wxx", "wyy", "wd", "wdd")
+
+
+def _stats_epilogue(s: TraceState, det: BakedDetector, weights, outs, block_rows):
+    """Project the traced (patch-relative, final-frame) state onto the
+    detector plane at every scan distance and accumulate weighted sums.
+
+    Writes one (1, LANES) row per output stat: lane j holds distance j's
+    partial sum for this grid program (J <= LANES distances per kernel)."""
+    w = jnp.where(s.alive, weights, 0.0)
+    c, n = det.centre, det.normal
+    dn = s.dx * n[0] + s.dy * n[1] + s.dz * n[2]
+    inv_dn = 1.0 / jnp.where(jnp.abs(dn) > 1e-30, dn, jnp.inf)
+    b0 = (c[0] - s.px) * n[0] + (c[1] - s.py) * n[1] + (c[2] - s.pz) * n[2]
+    t0 = b0 * inv_dn
+    a1 = (s.px - c[0]) * det.e1[0] + (s.py - c[1]) * det.e1[1] + (s.pz - c[2]) * det.e1[2]
+    a2 = (s.px - c[0]) * det.e2[0] + (s.py - c[1]) * det.e2[1] + (s.pz - c[2]) * det.e2[2]
+    g1 = s.dx * det.e1[0] + s.dy * det.e1[1] + s.dz * det.e1[2]
+    g2 = s.dx * det.e2[0] + s.dy * det.e2[1] + s.dz * det.e2[2]
+    # small residual path: (opl - ref) is a same-magnitude subtraction
+    # (exact), then the Kahan compensation applies at full significance
+    dsmall = (s.opl - det.opl_ref) - s.opl_c
+
+    # Mosaic block constraint: outputs must tile to (8, 128). Each program
+    # writes one (8, 128) block whose row 0 holds its per-distance partial
+    # sums (rows 1..7 are zero; the host slices them away).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    row0 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) == 0)
+    rows = {name: jnp.zeros((8, LANES), jnp.float32) for name in STATS_FIELDS}
+    for j, dist in enumerate(det.distances):
+        # shiftByDistance: centre_j = centre - dist * normal
+        tj = t0 - dist * inv_dn
+        xj = a1 + tj * g1
+        yj = a2 + tj * g2
+        dj = (dsmall + tj) - det.delay_offsets[j]
+        onehot = ((lane == j) & row0).astype(jnp.float32)
+        vals = {
+            "w": w, "wx": w * xj, "wy": w * yj,
+            "wxx": w * xj * xj, "wyy": w * yj * yj,
+            "wd": w * dj, "wdd": w * dj * dj,
+        }
+        for name, v in vals.items():
+            rows[name] = rows[name] + jnp.sum(v) * onehot
+    for name, ref in zip(STATS_FIELDS, outs):
+        ref[:] = rows[name]
+
+
+def _kernel_source_stats(phase, *outs, source, elements, maps, final, det,
+                         n_rays, block_rows, gaussian_edge):
+    shape = (block_rows, LANES)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = (pl.program_id(0) * block_rows + rows) * LANES + lanes
+    kf = idx.astype(jnp.float32)
+    cx, cy = _vogel_xy_c(kf, n_rays, source.radius, phase[0])
+    zeros = jnp.zeros(shape, dtype=jnp.float32)
+    ones = jnp.ones(shape, dtype=jnp.float32)
+    if source.kind == "cone":
+        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
+        px, py, pz = zeros, zeros, zeros
+        dx, dy, dz = cx * inv, cy * inv, inv
+    else:
+        px, py, pz = cx, cy, zeros
+        dx, dy, dz = zeros, zeros, ones
+    if gaussian_edge is None:
+        weights = ones
+    else:
+        # Gaussian profile, `gaussian_edge` at the spiral rim
+        # (ApplyGaussianIntensityToRayList, ART/ModuleSource.py:219-261)
+        rr = (cx * cx + cy * cy) * (1.0 / source.radius**2)
+        weights = jnp.exp(float(np.log(gaussian_edge)) * rr)
+    s = TraceState(
+        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        opl=zeros, opl_c=zeros,
+        alive=idx < n_rays,
+        incidence=zeros,
+    )
+    for el, (M, b) in zip(elements, maps):
+        # incidence is never observed by the statistics: skip it everywhere
+        s = chained_step(el, M, b, s, want_incidence=False)
+    _stats_epilogue(s, det, weights, outs, block_rows)
+
+
+@partial(jax.jit, static_argnames=("source", "elements", "maps", "final", "det",
+                                   "block_rows", "interpret", "n_rays", "rows",
+                                   "gaussian_edge"))
+def _pallas_source_stats_padded(phase, source, elements, maps, final, det,
+                                block_rows, interpret, n_rays, rows,
+                                gaussian_edge):
+    grid = (rows // block_rows,)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    rowspec = pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kernel = partial(_kernel_source_stats, source=source, elements=elements,
+                     maps=maps, final=final, det=det, n_rays=n_rays,
+                     block_rows=block_rows, gaussian_edge=gaussian_edge)
+    n_programs = rows // block_rows
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n_programs * 8, LANES), jnp.float32)
+        for _ in STATS_FIELDS
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[sspec],
+        out_specs=tuple([rowspec] * len(STATS_FIELDS)),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(phase, jnp.float32).reshape(1))
+
+
+def pallas_source_detector_stats(
+    spec: BakedSource,
+    elements,
+    n_rays: int,
+    det_centre,
+    det_normal,
+    det_rot,
+    distances=(0.0,),
+    opl_ref: float | None = None,
+    gaussian_edge: float | None = None,
+    block_rows: int = BLOCK_ROWS,
+    phase=0.0,
+):
+    """Whole production pipeline in ONE kernel pass: synthesize the source,
+    trace the chain, project onto the detector plane at every scan distance,
+    and reduce to weighted statistics — nothing per-ray ever touches HBM.
+
+    Replaces trace + Detector.get_PointList2D/get_Delays + SD reductions
+    (ART/ModuleProcessing.py:317-366 evaluates these at 20 scan positions per
+    refinement round; here a whole scan round is one kernel launch at any
+    bundle size). Returns a dict with per-distance arrays:
+
+    - ``spot_sd`` (J,) [mm], ``duration_sd`` (J,) [fs]  — the OptFor metrics
+    - ``mean_x``/``mean_y`` (J,) [mm], ``mean_delay`` (J,) [fs]
+    - ``sum_w`` (J,) — surviving (weighted) rays; transmission % =
+      100 * sum_w / total source weight.
+
+    ``distances`` are shifts along -normal from ``det_centre``
+    (Detector.shiftByDistance semantics), max 128 per call. ``opl_ref``
+    defaults to the chief ray's optical path to the detector plane (computed
+    with a tiny on-the-fly trace) — it only needs to be near the bundle mean
+    so float32 squares stay small.
+
+    Precision floor: spot SDs are accurate to ~0.2%; duration SDs carry the
+    float32 trace's per-ray OPL noise (~0.6 fs, quadrature-additive — same
+    class as the XLA path's 0.4 fs floor, tests/test_surfaces.py), so
+    sub-femtosecond durations read as ~0.6-0.9 fs. For sub-fs focus
+    metrology run the two-pass path (trace + detector_delays) in float64."""
+    from .precision import LIGHT_SPEED_MM_S
+
+    if len(distances) > LANES:
+        raise ValueError(f"at most {LANES} scan distances per call")
+    from .trace import trace
+
+    probe = source_bundle(spec, 8, wavelength=50e-6)
+    pout = trace(probe, elements, keep_history=False)
+    p = np.asarray(pout.p, np.float64)
+    d = np.asarray(pout.d, np.float64)
+    c = np.asarray(det_centre, np.float64)
+    n = np.asarray(det_normal, np.float64)
+    dn = d @ n
+    t_leg = ((c - p) @ n) / np.where(np.abs(dn) > 1e-30, dn, np.inf)
+    k0 = int(np.argmax(np.asarray(pout.alive)))  # first surviving probe ray
+    if opl_ref is None:
+        opl_ref = float(
+            (np.asarray(pout.opl, np.float64) - np.asarray(pout.opl_c, np.float64)
+             + t_leg)[k0]
+        )
+    # per-distance chief-ray leg increment: keeps in-kernel delays fs-scale
+    # at every scan position (see BakedDetector.delay_offsets)
+    delay_offsets = tuple(float(-dist / dn[k0]) for dist in distances)
+
+    det = bake_detector(elements, det_centre, det_normal, det_rot,
+                        distances=distances, opl_ref=opl_ref,
+                        delay_offsets=delay_offsets)
+    baked = _static_elements(elements)
+    maps, final = _source_maps(spec, elements)
+    tile = block_rows * LANES
+    n_pad = ((n_rays + tile - 1) // tile) * tile
+    interpret = jax.default_backend() == "cpu"
+    outs = _pallas_source_stats_padded(
+        phase, spec, baked, maps, final, det, block_rows, interpret,
+        n_rays, n_pad // LANES, gaussian_edge,
+    )
+    J = len(distances)
+    sums = {name: np.asarray(o, np.float64).sum(axis=0)[:J]
+            for name, o in zip(STATS_FIELDS, outs)}
+    w = np.maximum(sums["w"], 1e-30)
+    mean_x, mean_y = sums["wx"] / w, sums["wy"] / w
+    var_x = np.maximum(sums["wxx"] / w - mean_x**2, 0.0)
+    var_y = np.maximum(sums["wyy"] / w - mean_y**2, 0.0)
+    mean_d = sums["wd"] / w
+    var_d = np.maximum(sums["wdd"] / w - mean_d**2, 0.0)
+    to_fs = 1e15 / LIGHT_SPEED_MM_S
+    return {
+        "spot_sd": np.sqrt(var_x + var_y),
+        "duration_sd": np.sqrt(var_d) * to_fs,
+        "mean_x": mean_x,
+        "mean_y": mean_y,
+        "mean_delay": mean_d * to_fs,  # relative to opl_ref, [fs]
+        "sum_w": sums["w"],
+        "opl_ref": opl_ref,
+        "distances": np.asarray(distances, np.float64),
+    }
 
 
 def _is_fresh(source: RayBundle) -> bool:

@@ -1,0 +1,118 @@
+"""Fused trace->detector-statistics kernel vs the composed reference path
+(trace + Detector responses + weighted SD reductions)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attosecondraytracing_tpu.analysis import stats
+from attosecondraytracing_tpu.models import masks as mmask
+from attosecondraytracing_tpu.models import mirrors as mmirror
+from attosecondraytracing_tpu.models import supports as msupp
+from attosecondraytracing_tpu.models.detector import Detector
+from attosecondraytracing_tpu.models.placement import OEPlacement
+from attosecondraytracing_tpu.ops.pallas_trace import (
+    make_source_spec,
+    pallas_source_detector_stats,
+    source_bundle,
+)
+from attosecondraytracing_tpu.ops.trace import trace
+
+
+@pytest.fixture(scope="module")
+def setup():
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    mask = mmask.Mask(msupp.SupportRoundHole(20, 7, 0, 0))
+    props = {"Divergence": 25e-3, "SourceSize": 0, "Wavelength": 80e-6,
+             "DeltaFT": 0.5, "NumberRays": 16}
+    chain = OEPlacement(props, [mask, tor, tor], [400, 100, 500], [0, inc, -inc], [0, 0, 0])
+    elements = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+    spec = make_source_spec("cone", np.zeros(3), np.array([1.0, 0, 0]), 25e-3)
+
+    n = 20000
+    src = source_bundle(spec, n, wavelength=80e-6)
+    out = trace(src, elements, keep_history=False)
+    det = Detector(np.zeros(3))
+    # f-d-f chain focuses at f beyond the last toroid; place 10 mm short of
+    # it so the spot has structure and the scan brackets the focus
+    det.autoplace(out, focal - 10.0)
+    return spec, elements, n, out, det
+
+
+def test_stats_kernel_matches_detector_path(setup):
+    spec, elements, n, out, det = setup
+    distances = (-20.0, -5.0, 0.0, 5.0, 20.0)
+    res = pallas_source_detector_stats(
+        spec, elements, n, det.centre, det.normal, det._plane_rotation(),
+        distances=distances,
+    )
+    assert res["spot_sd"].shape == (5,)
+    for j, dist in enumerate(distances):
+        dj = det.copy_detector()
+        dj.shiftByDistance(dist)
+        spot, dur = (float(v) for v in dj.get_SpotAndDuration(out))
+        assert res["spot_sd"][j] == pytest.approx(spot, rel=2e-3, abs=1e-6), dist
+        # duration: the kernel's f32 OPL noise (~0.6 fs/ray, same class as
+        # the XLA path's 0.4 fs floor) adds in quadrature to the true SD
+        k, r = float(res["duration_sd"][j]), dur
+        assert abs(k - r) <= 0.025 * r or abs(k * k - r * r) ** 0.5 <= 0.8, (dist, k, r)
+    # unweighted survivors
+    assert res["sum_w"][0] == pytest.approx(float(np.asarray(out.alive).sum()), abs=0.5)
+
+
+def test_stats_kernel_gaussian_weights(setup):
+    spec, elements, n, out, det = setup
+    res = pallas_source_detector_stats(
+        spec, elements, n, det.centre, det.normal, det._plane_rotation(),
+        distances=(0.0,), gaussian_edge=float(1 / np.e**2),
+    )
+    # reference: same Gaussian profile applied to the jnp source bundle
+    src = source_bundle(spec, n, wavelength=80e-6)
+    d = np.asarray(src.d, np.float64)
+    axis = np.array([1.0, 0, 0])
+    tan2 = (np.linalg.norm(np.cross(d, axis), axis=1) / (d @ axis)) ** 2
+    w = np.exp(np.log(1 / np.e**2) * tan2 / np.tan(25e-3) ** 2)
+    w = w * np.asarray(out.alive)
+    xy = np.asarray(det.get_PointList2D(out), np.float64)
+    mean = (w[:, None] * xy).sum(0) / w.sum()
+    var = (w[:, None] * (xy - mean) ** 2).sum(0) / w.sum()
+    spot_ref = float(np.sqrt(var.sum()))
+    assert res["sum_w"][0] == pytest.approx(w.sum(), rel=1e-4)
+    assert res["spot_sd"][0] == pytest.approx(spot_ref, rel=2e-3)
+
+
+def test_pallas_optimizer_matches_bundle_optimizer(setup):
+    """FindOptimalDistancePallas lands on the same detector distance as the
+    bundle-based FindOptimalDistance on the same physics."""
+    from attosecondraytracing_tpu.analysis.optimizer import (
+        FindOptimalDistance,
+        FindOptimalDistancePallas,
+    )
+
+    spec, elements, n, out, det = setup
+    d_ref, spot_ref, _ = FindOptimalDistance(
+        det, out, OptFor="spotsize", Amplitude=30.0, Precision=2
+    )
+    d_pal, spot_pal, _ = FindOptimalDistancePallas(
+        spec, elements, n, det, OptFor="spotsize", Amplitude=30.0, Precision=2
+    )
+    assert d_pal.get_distance() == pytest.approx(d_ref.get_distance(), abs=0.05)
+    assert spot_pal == pytest.approx(spot_ref, rel=5e-3, abs=1e-6)
+
+
+def test_stats_kernel_full_scan_matches_optimizer_shape(setup):
+    """A 21-point scan in one kernel call brackets the focus: the spot-SD
+    curve is V-shaped around its minimum."""
+    spec, elements, n, out, det = setup
+    distances = tuple(np.linspace(-80, 80, 21))
+    res = pallas_source_detector_stats(
+        spec, elements, n, det.centre, det.normal, det._plane_rotation(),
+        distances=distances,
+    )
+    s = res["spot_sd"]
+    k = int(s.argmin())
+    assert 0 < k < 20
+    assert np.all(np.diff(s[: k + 1]) <= 1e-9) or k <= 2
+    assert np.all(np.diff(s[k:]) >= -1e-9) or k >= 18
