@@ -227,7 +227,7 @@ def _sincos_pi(x):
     return s, c_
 
 
-def _vogel_xy_c(kf, n_rays: int, radius: float, phase=0.0):
+def _vogel_xy_c(kf, n_rays: int, radius: float, phase=0.0, k_frac=0.0):
     """Vogel-spiral coordinates from exact-integer-valued float ray indices
     ``kf`` (component form, in-kernel safe: float ops only).
 
@@ -236,9 +236,19 @@ def _vogel_xy_c(kf, n_rays: int, radius: float, phase=0.0):
     frac() loses at most ~6e-5 turns (~4e-4 rad of spiral phase — irrelevant
     to the spiral's equidistribution, and *identical* in the plain-jnp
     builder, so kernel and reference agree bit-for-bit). Radii are exact:
-    ``radius * sqrt(k / N)`` (host Vogel semantics, ops/host_geometry.py)."""
+    ``radius * sqrt(k / N)`` (host Vogel semantics, ops/host_geometry.py).
+
+    Sharded giga-ray sources: a device responsible for global rays
+    ``[off, off + n_local)`` passes local indices ``kf`` in [0, n_local),
+    ``phase = frac(off * phi)`` (computed host-side in float64 — the global
+    golden angle is then EXACT), and ``k_frac = off / n_total`` with
+    ``n_rays = n_total`` — the global radius law without ever forming a
+    > 2^24 float index."""
     if n_rays >= 1 << 24:
-        raise ValueError("fused-source kernel requires n_rays < 2^24 per trace")
+        raise ValueError(
+            "per-device ray indices must stay < 2^24; shard larger traces and "
+            "pass phase/k_frac per shard (see docstring)"
+        )
     a = jnp.floor(kf * (1.0 / 65536.0))
     rem = kf - a * 65536.0
     b = jnp.floor(rem * (1.0 / 256.0))
@@ -247,7 +257,7 @@ def _vogel_xy_c(kf, n_rays: int, radius: float, phase=0.0):
     fr = tt - jnp.floor(tt)  # theta in turns, [0, 1)
     x = 2.0 * fr - 1.0       # [-1, 1): theta = pi (x + 1)
     s, co = _sincos_pi(x)
-    r = radius * jnp.sqrt(kf * (1.0 / n_rays))
+    r = radius * jnp.sqrt(kf * (1.0 / n_rays) + k_frac)
     return -r * co, -r * s   # (r cos theta, r sin theta)
 
 
@@ -283,7 +293,8 @@ def _source_maps(source: BakedSource, elements):
     return baked_maps, baked_final
 
 
-def _kernel_source(phase, *outs, source, elements, maps, final, n_rays, block_rows):
+def _kernel_source(scalars, *outs, source, elements, maps, final, n_rays,
+                   n_total, block_rows):
     """Near-zero-input kernel: the source bundle is synthesized from the ray
     index (iota), so the trace reads nothing per-ray from HBM — only the
     traced bundle is written (~40% of the fused kernel's HBM traffic was the
@@ -294,7 +305,7 @@ def _kernel_source(phase, *outs, source, elements, maps, final, n_rays, block_ro
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = (pl.program_id(0) * block_rows + rows) * LANES + lanes
     kf = idx.astype(jnp.float32)
-    cx, cy = _vogel_xy_c(kf, n_rays, source.radius, phase[0])
+    cx, cy = _vogel_xy_c(kf, n_total, source.radius, scalars[0], scalars[1])
     zeros = jnp.zeros(shape, dtype=jnp.float32)
     ones = jnp.ones(shape, dtype=jnp.float32)
     if source.kind == "cone":
@@ -314,14 +325,16 @@ def _kernel_source(phase, *outs, source, elements, maps, final, n_rays, block_ro
 
 
 @partial(jax.jit, static_argnames=("source", "elements", "maps", "final",
-                                   "block_rows", "interpret", "n_rays", "rows"))
-def _pallas_trace_source_padded(phase, source, elements, maps, final,
-                                block_rows, interpret, n_rays, rows):
+                                   "block_rows", "interpret", "n_rays",
+                                   "n_total", "rows"))
+def _pallas_trace_source_padded(phase, k_frac, source, elements, maps, final,
+                                block_rows, interpret, n_rays, n_total, rows):
     grid = (rows // block_rows,)
     fspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = partial(_kernel_source, source=source, elements=elements,
-                     maps=maps, final=final, n_rays=n_rays, block_rows=block_rows)
+                     maps=maps, final=final, n_rays=n_rays, n_total=n_total,
+                     block_rows=block_rows)
     out_shape = tuple(
         [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 8
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
@@ -334,7 +347,8 @@ def _pallas_trace_source_padded(phase, source, elements, maps, final,
         out_specs=tuple([fspec] * 10),
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(phase, jnp.float32).reshape(1))
+    )(jnp.stack([jnp.asarray(phase, jnp.float32),
+                 jnp.asarray(k_frac, jnp.float32)]))
 
 
 def make_source_spec(kind: str, S, Axis, param: float) -> BakedSource:
@@ -355,12 +369,14 @@ def make_source_spec(kind: str, S, Axis, param: float) -> BakedSource:
                        radius=radius)
 
 
-def source_bundle(spec: BakedSource, n_rays: int, wavelength=50e-6, phase=0.0) -> RayBundle:
+def source_bundle(spec: BakedSource, n_rays: int, wavelength=50e-6, phase=0.0,
+                  k_frac=0.0, n_total=None) -> RayBundle:
     """Plain-jnp builder of the exact bundle the fused-source kernel
     synthesizes (same float32 formulas), for tests and for consumers that
     need the source side (e.g. the transmission denominator)."""
     kf = jnp.arange(n_rays, dtype=jnp.float32)
-    cx, cy = _vogel_xy_c(kf, n_rays, spec.radius, jnp.float32(phase))
+    cx, cy = _vogel_xy_c(kf, n_total or n_rays, spec.radius, jnp.float32(phase),
+                         jnp.float32(k_frac))
     zeros = jnp.zeros((n_rays,), dtype=jnp.float32)
     if spec.kind == "cone":
         inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
@@ -389,6 +405,8 @@ def pallas_trace_source(
     wavelength=50e-6,
     block_rows: int = BLOCK_ROWS,
     phase=0.0,
+    k_frac=0.0,
+    n_total: int | None = None,
 ) -> RayBundle:
     """Trace ``n_rays`` from an in-kernel-synthesized source through
     ``elements``; the kernel reads zero bytes from HBM (the source is pure
@@ -403,8 +421,8 @@ def pallas_trace_source(
     n_pad = ((n_rays + tile - 1) // tile) * tile
     interpret = jax.default_backend() == "cpu"
     outs = _pallas_trace_source_padded(
-        phase, spec, baked, maps, final, block_rows, interpret, n_rays,
-        n_pad // LANES
+        phase, k_frac, spec, baked, maps, final, block_rows, interpret,
+        n_rays, n_total or n_rays, n_pad // LANES
     )
     (opx, opy, opz, odx, ody, odz, oopl, oopl_c, oalive, oinc) = outs
 
@@ -520,14 +538,14 @@ def _stats_epilogue(s: TraceState, det: BakedDetector, weights, outs, block_rows
         ref[:] = rows[name]
 
 
-def _kernel_source_stats(phase, *outs, source, elements, maps, final, det,
-                         n_rays, block_rows, gaussian_edge):
+def _kernel_source_stats(scalars, *outs, source, elements, maps, final, det,
+                         n_rays, n_total, block_rows, gaussian_edge):
     shape = (block_rows, LANES)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = (pl.program_id(0) * block_rows + rows) * LANES + lanes
     kf = idx.astype(jnp.float32)
-    cx, cy = _vogel_xy_c(kf, n_rays, source.radius, phase[0])
+    cx, cy = _vogel_xy_c(kf, n_total, source.radius, scalars[0], scalars[1])
     zeros = jnp.zeros(shape, dtype=jnp.float32)
     ones = jnp.ones(shape, dtype=jnp.float32)
     if source.kind == "cone":
@@ -557,17 +575,18 @@ def _kernel_source_stats(phase, *outs, source, elements, maps, final, det,
 
 
 @partial(jax.jit, static_argnames=("source", "elements", "maps", "final", "det",
-                                   "block_rows", "interpret", "n_rays", "rows",
-                                   "gaussian_edge"))
-def _pallas_source_stats_padded(phase, source, elements, maps, final, det,
-                                block_rows, interpret, n_rays, rows,
-                                gaussian_edge):
+                                   "block_rows", "interpret", "n_rays",
+                                   "n_total", "rows", "gaussian_edge"))
+def _pallas_source_stats_padded(phase, k_frac, source, elements, maps, final,
+                                det, block_rows, interpret, n_rays, n_total,
+                                rows, gaussian_edge):
     grid = (rows // block_rows,)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     rowspec = pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = partial(_kernel_source_stats, source=source, elements=elements,
                      maps=maps, final=final, det=det, n_rays=n_rays,
-                     block_rows=block_rows, gaussian_edge=gaussian_edge)
+                     n_total=n_total, block_rows=block_rows,
+                     gaussian_edge=gaussian_edge)
     n_programs = rows // block_rows
     out_shape = tuple(
         jax.ShapeDtypeStruct((n_programs * 8, LANES), jnp.float32)
@@ -580,7 +599,8 @@ def _pallas_source_stats_padded(phase, source, elements, maps, final, det,
         out_specs=tuple([rowspec] * len(STATS_FIELDS)),
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(phase, jnp.float32).reshape(1))
+    )(jnp.stack([jnp.asarray(phase, jnp.float32),
+                 jnp.asarray(k_frac, jnp.float32)]))
 
 
 def pallas_source_detector_stats(
@@ -595,6 +615,8 @@ def pallas_source_detector_stats(
     gaussian_edge: float | None = None,
     block_rows: int = BLOCK_ROWS,
     phase=0.0,
+    k_frac=0.0,
+    n_total: int | None = None,
 ):
     """Whole production pipeline in ONE kernel pass: synthesize the source,
     trace the chain, project onto the detector plane at every scan distance,
@@ -654,8 +676,8 @@ def pallas_source_detector_stats(
     n_pad = ((n_rays + tile - 1) // tile) * tile
     interpret = jax.default_backend() == "cpu"
     outs = _pallas_source_stats_padded(
-        phase, spec, baked, maps, final, det, block_rows, interpret,
-        n_rays, n_pad // LANES, gaussian_edge,
+        phase, k_frac, spec, baked, maps, final, det, block_rows, interpret,
+        n_rays, n_total or n_rays, n_pad // LANES, gaussian_edge,
     )
     J = len(distances)
     sums = {name: np.asarray(o, np.float64).sum(axis=0)[:J]

@@ -135,3 +135,117 @@ def trace_scan_sharded(chains, mesh: Mesh, ignore_defects: bool = True):
     src = jax.device_put(stacked_sources, bundle_sharding(mesh, batched=True))
     els = jax.device_put(stacked_elements, NamedSharding(mesh, P()))
     return trace_scan(src, els, ignore_defects=ignore_defects)
+
+
+# ---------------------------------------------------------------------------
+# sharded in-kernel sources: giga-ray traces with O(bytes) communication
+# ---------------------------------------------------------------------------
+
+_PHI_FRAC = 0.3819660112501051  # golden turn fraction (ops.pallas_trace)
+
+
+def shard_source_offsets(n_total: int, n_devices: int):
+    """Per-device (n_local, phase, k_frac) partitioning of a Vogel-spiral
+    source: device i synthesizes global rays [i*n_local, (i+1)*n_local).
+
+    ``phase`` = frac(offset * phi) computed here in float64, so the global
+    golden angle is exact on every shard; ``k_frac`` = offset / n_total feeds
+    the global radius law without ever forming a > 2^24 float ray index —
+    together they let a mesh trace bundles far beyond the 16M-ray float32
+    index limit of a single kernel call."""
+    if n_total % n_devices:
+        raise ValueError("n_total must divide evenly over the devices")
+    n_local = n_total // n_devices
+    offs = np.arange(n_devices, dtype=np.float64) * n_local
+    phases = np.mod(offs * _PHI_FRAC, 1.0).astype(np.float32)
+    k_fracs = (offs / n_total).astype(np.float32)
+    return n_local, jnp.asarray(phases), jnp.asarray(k_fracs)
+
+
+def source_stats_sharded(
+    spec,
+    elements,
+    n_total: int,
+    mesh: Mesh,
+    det_centre,
+    det_normal,
+    det_rot,
+    distances=(0.0,),
+    gaussian_edge: float | None = None,
+):
+    """Fused trace->detector-statistics over every device of a ('rays',)
+    mesh: each device runs the zero-read stats kernel on its slice of the
+    global Vogel spiral and only the (n_programs, 128) partial-sum blocks are
+    gathered — the cross-device traffic for a billion-ray scan is a few kB.
+
+    Same returns and float32 caveats as
+    ops.pallas_trace.pallas_source_detector_stats."""
+    from ..ops import pallas_trace as pt
+    from ..ops.precision import LIGHT_SPEED_MM_S
+
+    shard_map = jax.shard_map
+
+    n_dev = mesh.devices.size
+    n_local, phases, k_fracs = shard_source_offsets(n_total, n_dev)
+
+    # identical baking as the single-device wrapper (chief-ray refs included)
+    from ..ops.trace import trace as _trace
+
+    probe = pt.source_bundle(spec, 8)
+    pout = _trace(probe, elements, keep_history=False)
+    p = np.asarray(pout.p, np.float64)
+    d = np.asarray(pout.d, np.float64)
+    c = np.asarray(det_centre, np.float64)
+    n = np.asarray(det_normal, np.float64)
+    dn = d @ n
+    t_leg = ((c - p) @ n) / np.where(np.abs(dn) > 1e-30, dn, np.inf)
+    k0 = int(np.argmax(np.asarray(pout.alive)))
+    opl_ref = float((np.asarray(pout.opl, np.float64)
+                     - np.asarray(pout.opl_c, np.float64) + t_leg)[k0])
+    delay_offsets = tuple(float(-dist / dn[k0]) for dist in distances)
+    det = pt.bake_detector(elements, det_centre, det_normal, det_rot,
+                           distances=distances, opl_ref=opl_ref,
+                           delay_offsets=delay_offsets)
+    baked = pt._static_elements(elements)
+    maps, final = pt._source_maps(spec, elements)
+    tile = pt.BLOCK_ROWS * pt.LANES
+    n_pad = ((n_local + tile - 1) // tile) * tile
+    interpret = jax.default_backend() == "cpu"
+
+    def local(phase, k_frac):
+        outs = pt._pallas_source_stats_padded(
+            phase[0], k_frac[0], spec, baked, maps, final, det,
+            pt.BLOCK_ROWS, interpret, n_local, n_total, n_pad // pt.LANES,
+            gaussian_edge,
+        )
+        # per-device partial reduction: ship one (8, 128) block per stat
+        return tuple(o.sum(axis=0, keepdims=True) for o in outs)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("rays"), P("rays")),
+        out_specs=tuple(P("rays", None) for _ in pt.STATS_FIELDS),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    outs = sharded(phases, k_fracs)
+
+    J = len(distances)
+    sums = {name: np.asarray(o, np.float64).sum(axis=0)[:J]
+            for name, o in zip(pt.STATS_FIELDS, outs)}
+    w = np.maximum(sums["w"], 1e-30)
+    mean_x, mean_y = sums["wx"] / w, sums["wy"] / w
+    var_x = np.maximum(sums["wxx"] / w - mean_x**2, 0.0)
+    var_y = np.maximum(sums["wyy"] / w - mean_y**2, 0.0)
+    mean_d = sums["wd"] / w
+    var_d = np.maximum(sums["wdd"] / w - mean_d**2, 0.0)
+    to_fs = 1e15 / LIGHT_SPEED_MM_S
+    return {
+        "spot_sd": np.sqrt(var_x + var_y),
+        "duration_sd": np.sqrt(var_d) * to_fs,
+        "mean_x": mean_x,
+        "mean_y": mean_y,
+        "mean_delay": mean_d * to_fs,
+        "sum_w": sums["w"],
+        "opl_ref": opl_ref,
+        "distances": np.asarray(distances, np.float64),
+    }

@@ -116,3 +116,46 @@ def test_stats_kernel_full_scan_matches_optimizer_shape(setup):
     assert 0 < k < 20
     assert np.all(np.diff(s[: k + 1]) <= 1e-9) or k <= 2
     assert np.all(np.diff(s[k:]) >= -1e-9) or k >= 18
+
+
+def test_sharded_spiral_partition_matches_global():
+    """Per-shard (phase, k_frac) synthesis reproduces the global spiral."""
+    from attosecondraytracing_tpu.parallel.mesh import shard_source_offsets
+
+    spec = make_source_spec("cone", np.zeros(3), np.array([1.0, 0, 0]), 25e-3)
+    n_total, n_dev = 8192, 8
+    full = source_bundle(spec, n_total)
+    n_local, phases, k_fracs = shard_source_offsets(n_total, n_dev)
+    parts = [
+        source_bundle(spec, n_local, phase=float(phases[i]),
+                      k_frac=float(k_fracs[i]), n_total=n_total)
+        for i in range(n_dev)
+    ]
+    d_union = np.concatenate([np.asarray(b.d) for b in parts])
+    # angle-frac rounding paths differ (local vs global digit split): allow
+    # the documented ~1e-4-turn phase envelope, ~2e-5 on direction components
+    np.testing.assert_allclose(d_union, np.asarray(full.d), atol=5e-5)
+    # radii are exact in both
+    r_union = np.hypot(d_union[:, 1], d_union[:, 2]) / d_union[:, 0]
+    r_full = np.asarray(full.d)
+    r_full = np.hypot(r_full[:, 1], r_full[:, 2]) / r_full[:, 0]
+    np.testing.assert_allclose(r_union, r_full, atol=2e-6)
+
+
+def test_sharded_source_stats_matches_single_device(setup):
+    """source_stats_sharded over the 8-virtual-device mesh == the
+    single-device stats kernel (same global spiral, partial sums combined
+    across shards)."""
+    import jax
+    from attosecondraytracing_tpu.parallel.mesh import source_stats_sharded
+
+    spec, elements, n, out, det = setup
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("rays",))
+    distances = (-10.0, 0.0, 10.0)
+    kw = dict(det_centre=det.centre, det_normal=det.normal,
+              det_rot=det._plane_rotation(), distances=distances)
+    res_1 = pallas_source_detector_stats(spec, elements, 16384, **kw)
+    res_8 = source_stats_sharded(spec, elements, 16384, mesh, **kw)
+    np.testing.assert_allclose(res_8["sum_w"], res_1["sum_w"], rtol=2e-3)
+    np.testing.assert_allclose(res_8["spot_sd"], res_1["spot_sd"], rtol=2e-3)
+    np.testing.assert_allclose(res_8["duration_sd"], res_1["duration_sd"], rtol=2e-2, atol=0.2)
