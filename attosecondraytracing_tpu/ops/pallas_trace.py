@@ -244,11 +244,10 @@ def _vogel_xy_c(kf, n_rays: int, radius: float, phase=0.0, k_frac=0.0):
     golden angle is then EXACT), and ``k_frac = off / n_total`` with
     ``n_rays = n_total`` — the global radius law without ever forming a
     > 2^24 float index."""
-    if n_rays >= 1 << 24:
-        raise ValueError(
-            "per-device ray indices must stay < 2^24; shard larger traces and "
-            "pass phase/k_frac per shard (see docstring)"
-        )
+    # NOTE: ``kf`` values (local indices) must stay < 2^24 for float
+    # exactness — callers chunk/shard larger ranges and pass phase/k_frac;
+    # ``n_rays`` (the global total) may be arbitrarily large (it only enters
+    # the smooth radius law).
     a = jnp.floor(kf * (1.0 / 65536.0))
     rem = kf - a * 65536.0
     b = jnp.floor(rem * (1.0 / 256.0))
@@ -329,6 +328,9 @@ def _kernel_source(scalars, *outs, source, elements, maps, final, n_rays,
                                    "n_total", "rows"))
 def _pallas_trace_source_padded(phase, k_frac, source, elements, maps, final,
                                 block_rows, interpret, n_rays, n_total, rows):
+    if n_rays >= 1 << 24:
+        raise ValueError("per-call ray count must stay < 2^24 (float index "
+                         "exactness); chunk or shard larger ranges")
     grid = (rows // block_rows,)
     fspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -580,6 +582,9 @@ def _kernel_source_stats(scalars, *outs, source, elements, maps, final, det,
 def _pallas_source_stats_padded(phase, k_frac, source, elements, maps, final,
                                 det, block_rows, interpret, n_rays, n_total,
                                 rows, gaussian_edge):
+    if n_rays >= 1 << 24:
+        raise ValueError("per-call ray count must stay < 2^24 (float index "
+                         "exactness); chunk or shard larger ranges")
     grid = (rows // block_rows,)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     rowspec = pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -672,16 +677,80 @@ def pallas_source_detector_stats(
                         delay_offsets=delay_offsets)
     baked = _static_elements(elements)
     maps, final = _source_maps(spec, elements)
-    tile = block_rows * LANES
-    n_pad = ((n_rays + tile - 1) // tile) * tile
     interpret = jax.default_backend() == "cpu"
-    outs = _pallas_source_stats_padded(
-        phase, k_frac, spec, baked, maps, final, det, block_rows, interpret,
-        n_rays, n_total or n_rays, n_pad // LANES, gaussian_edge,
-    )
     J = len(distances)
-    sums = {name: np.asarray(o, np.float64).sum(axis=0)[:J]
-            for name, o in zip(STATS_FIELDS, outs)}
+    n_total = n_total or n_rays
+
+    # chunk the ray range so per-kernel float indices stay exact (< 2^24):
+    # a single chip reaches billion-ray scans by accumulating the f64
+    # partial sums over ~n/2^23 kernel passes — the same (phase, k_frac)
+    # mechanism the multi-device sharding uses
+    CHUNK = 1 << 23
+    if n_rays <= CHUNK:
+        chunks = [(n_rays, phase, k_frac)]
+    else:
+        if not isinstance(phase, (int, float)) or not isinstance(k_frac, (int, float)):
+            raise ValueError("chunked (>2^23 ray) scans need python-float phase/k_frac")
+        chunks = []
+        off = 0
+        while off < n_rays:
+            n_local = min(CHUNK, n_rays - off)
+            chunks.append((
+                n_local,
+                float(np.mod(float(phase) + off * _PHI_FRAC, 1.0)),
+                float(k_frac) + off / n_total,
+            ))
+            off += n_local
+    tile = block_rows * LANES
+
+    @partial(jax.jit, static_argnames=("n_local", "rows"))
+    def _chunk(phase_i, k_frac_i, n_local, rows):
+        outs = _pallas_source_stats_padded(
+            phase_i, k_frac_i, spec, baked, maps, final, det, block_rows,
+            interpret, n_local, n_total, rows, gaussian_edge,
+        )
+        # reduce the per-program partials ON DEVICE: only (n_stats, 128)
+        # floats leave the chip per chunk (a billion-ray scan would
+        # otherwise fetch ~GBs of partial blocks)
+        return jnp.stack([o.sum(axis=0) for o in outs])
+
+    @partial(jax.jit, static_argnames=("n_local", "rows"))
+    def _chunks_fused(phases_arr, kfracs_arr, n_local, rows):
+        # all equal-size chunks in ONE dispatch: per-chunk host round trips
+        # (~50 ms each through a tunnel) would dominate a giga-ray scan.
+        # (A vmapped single pallas launch with a chunk grid dim compiles
+        # pathologically on Mosaic; the fori_loop of launches is the fastest
+        # working form measured.)
+        def body(i, acc):
+            return acc + _chunk(phases_arr[i], kfracs_arr[i], n_local, rows)
+
+        init = jnp.zeros((len(STATS_FIELDS), LANES), jnp.float32)
+        return jax.lax.fori_loop(0, phases_arr.shape[0], body, init)
+
+    sums = {name: np.zeros(J, np.float64) for name in STATS_FIELDS}
+
+    def _accumulate(rows_chunk):
+        for i, name in enumerate(STATS_FIELDS):
+            sums[name] += rows_chunk[i, :J]
+
+    full = [c for c in chunks if c[0] == CHUNK]
+    rest = [c for c in chunks if c[0] != CHUNK]
+    if len(full) > 1:
+        phases_arr = jnp.asarray([c[1] for c in full], jnp.float32)
+        kfracs_arr = jnp.asarray([c[2] for c in full], jnp.float32)
+        n_pad = ((CHUNK + tile - 1) // tile) * tile
+        _accumulate(np.asarray(
+            _chunks_fused(phases_arr, kfracs_arr, CHUNK, n_pad // LANES),
+            np.float64,
+        ))
+        rest = rest or []
+    else:
+        rest = chunks
+    for n_local, phase_i, k_frac_i in rest:
+        n_pad = ((n_local + tile - 1) // tile) * tile
+        _accumulate(np.asarray(
+            _chunk(phase_i, k_frac_i, n_local, n_pad // LANES), np.float64
+        ))
     w = np.maximum(sums["w"], 1e-30)
     mean_x, mean_y = sums["wx"] / w, sums["wy"] / w
     var_x = np.maximum(sums["wxx"] / w - mean_x**2, 0.0)
