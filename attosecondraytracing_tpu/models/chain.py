@@ -276,9 +276,11 @@ class OpticalChain:
         """Monte-Carlo tolerancing: every element randomly rotated and shifted
         with normal-distributed amplitudes (ART/ModuleOpticalChain.py:616-657)."""
         rng = np.random if rng is None else rng
+        # loop label ends up in saved results/plots; wording is ours (the
+        # reference's label at ART/ModuleOpticalChain.py:641 differs slightly)
         name = (
             "all optical elements randomly rotated with std=" + str(rotate_std)
-            + "deg and and shifted with Std=" + str(shift_std) + "mm"
+            + " deg and shifted with std=" + str(shift_std) + " mm"
         )
         chains = []
         for i in range(number_sims):

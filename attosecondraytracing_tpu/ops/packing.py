@@ -35,6 +35,10 @@ def unpack_tree(flat, meta):
     i = 0
     for shape, dt in specs:
         n = int(math.prod(shape))
+        # canonicalize: float64 leaves degrade to float32 when x64 is off —
+        # without this, astype(float64) on a non-x64 backend emits a
+        # UserWarning on every driver run (and truncates anyway)
+        dt = jax.dtypes.canonicalize_dtype(np.dtype(dt))
         leaves.append(flat[i : i + n].reshape(shape).astype(dt))
         i += n
     return jax.tree_util.tree_unflatten(treedef, leaves)

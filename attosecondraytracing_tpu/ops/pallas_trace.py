@@ -540,6 +540,48 @@ def _stats_epilogue(s: TraceState, det: BakedDetector, weights, outs, block_rows
         ref[:] = rows[name]
 
 
+def chief_ray_refs(spec: BakedSource, elements, det_centre, det_normal,
+                   distances, opl_ref: float | None = None):
+    """(opl_ref, delay_offsets) for the stats kernels: the optical path of a
+    surviving probe ray to the detector plane and, per scan distance, its leg
+    increment (so in-kernel delays stay fs-scale at every scan position).
+
+    A small probe bundle is traced on the XLA path; if no probe ray survives
+    the chain, the probe is retried with more rays before failing loudly —
+    silently indexing a dead ray would return garbage statistics (argmax of an
+    all-False mask is 0)."""
+    from .trace import trace
+
+    pout = None
+    for n_probe in (8, 256, 8192):
+        probe = source_bundle(spec, n_probe, wavelength=50e-6)
+        pout = trace(probe, elements, keep_history=False)
+        if bool(np.asarray(pout.alive).any()):
+            break
+    else:
+        raise RuntimeError(
+            "chief-ray probe: no ray survives the chain (tried up to 8192 "
+            "probe rays) — the detector statistics would be meaningless. "
+            "Check the chain alignment/supports before running a stats scan."
+        )
+    k0 = int(np.argmax(np.asarray(pout.alive)))
+    p = np.asarray(pout.p, np.float64)[k0]
+    d = np.asarray(pout.d, np.float64)[k0]
+    c = np.asarray(det_centre, np.float64)
+    n = np.asarray(det_normal, np.float64)
+    dn = float(d @ n)
+    if abs(dn) < 1e-30:
+        raise RuntimeError("chief-ray probe: surviving ray is parallel to the detector plane")
+    t_leg = float((c - p) @ n) / dn
+    if opl_ref is None:
+        opl_ref = float(
+            np.asarray(pout.opl, np.float64)[k0]
+            - np.asarray(pout.opl_c, np.float64)[k0] + t_leg
+        )
+    delay_offsets = tuple(float(-dist / dn) for dist in distances)
+    return float(opl_ref), delay_offsets
+
+
 def _kernel_source_stats(scalars, *outs, source, elements, maps, final, det,
                          n_rays, n_total, block_rows, gaussian_edge):
     shape = (block_rows, LANES)
@@ -652,25 +694,11 @@ def pallas_source_detector_stats(
 
     if len(distances) > LANES:
         raise ValueError(f"at most {LANES} scan distances per call")
-    from .trace import trace
-
-    probe = source_bundle(spec, 8, wavelength=50e-6)
-    pout = trace(probe, elements, keep_history=False)
-    p = np.asarray(pout.p, np.float64)
-    d = np.asarray(pout.d, np.float64)
-    c = np.asarray(det_centre, np.float64)
-    n = np.asarray(det_normal, np.float64)
-    dn = d @ n
-    t_leg = ((c - p) @ n) / np.where(np.abs(dn) > 1e-30, dn, np.inf)
-    k0 = int(np.argmax(np.asarray(pout.alive)))  # first surviving probe ray
-    if opl_ref is None:
-        opl_ref = float(
-            (np.asarray(pout.opl, np.float64) - np.asarray(pout.opl_c, np.float64)
-             + t_leg)[k0]
-        )
-    # per-distance chief-ray leg increment: keeps in-kernel delays fs-scale
-    # at every scan position (see BakedDetector.delay_offsets)
-    delay_offsets = tuple(float(-dist / dn[k0]) for dist in distances)
+    # chief-ray reference path + per-distance leg increments: keep in-kernel
+    # delays fs-scale at every scan position (see BakedDetector.delay_offsets)
+    opl_ref, delay_offsets = chief_ray_refs(
+        spec, elements, det_centre, det_normal, distances, opl_ref
+    )
 
     det = bake_detector(elements, det_centre, det_normal, det_rot,
                         distances=distances, opl_ref=opl_ref,
@@ -714,6 +742,12 @@ def pallas_source_detector_stats(
         # otherwise fetch ~GBs of partial blocks)
         return jnp.stack([o.sum(axis=0) for o in outs])
 
+    # cap on consecutive f32 partial-sum adds: per-chunk sums stay < 2^23, so
+    # within a group the accumulator magnitude stays < 2^28 and the relative
+    # reassociation loss is ~GROUP * 2^-24 ≈ 1e-6; groups are then summed on
+    # the host in float64 (a flat f32 accumulator loses ~1e-5 by 128 chunks)
+    GROUP = 16
+
     @partial(jax.jit, static_argnames=("n_local", "rows"))
     def _chunks_fused(phases_arr, kfracs_arr, n_local, rows):
         # all equal-size chunks in ONE dispatch: per-chunk host round trips
@@ -721,11 +755,15 @@ def pallas_source_detector_stats(
         # (A vmapped single pallas launch with a chunk grid dim compiles
         # pathologically on Mosaic; the fori_loop of launches is the fastest
         # working form measured.)
-        def body(i, acc):
-            return acc + _chunk(phases_arr[i], kfracs_arr[i], n_local, rows)
+        n_chunks = phases_arr.shape[0]
+        n_groups = -(-n_chunks // GROUP)
 
-        init = jnp.zeros((len(STATS_FIELDS), LANES), jnp.float32)
-        return jax.lax.fori_loop(0, phases_arr.shape[0], body, init)
+        def body(i, acc):
+            rows_i = _chunk(phases_arr[i], kfracs_arr[i], n_local, rows)
+            return acc.at[i // GROUP].add(rows_i)
+
+        init = jnp.zeros((n_groups, len(STATS_FIELDS), LANES), jnp.float32)
+        return jax.lax.fori_loop(0, n_chunks, body, init)
 
     sums = {name: np.zeros(J, np.float64) for name in STATS_FIELDS}
 
@@ -739,10 +777,11 @@ def pallas_source_detector_stats(
         phases_arr = jnp.asarray([c[1] for c in full], jnp.float32)
         kfracs_arr = jnp.asarray([c[2] for c in full], jnp.float32)
         n_pad = ((CHUNK + tile - 1) // tile) * tile
-        _accumulate(np.asarray(
+        groups = np.asarray(
             _chunks_fused(phases_arr, kfracs_arr, CHUNK, n_pad // LANES),
             np.float64,
-        ))
+        )
+        _accumulate(groups.sum(axis=0))  # float64 cross-group reduction
         rest = rest or []
     else:
         rest = chunks
@@ -770,19 +809,36 @@ def pallas_source_detector_stats(
     }
 
 
+@jax.jit
+def _fresh_predicate(alive, opl, opl_c, incidence):
+    return (
+        jnp.all(alive)
+        & jnp.logical_not(jnp.any(opl != 0))
+        & jnp.logical_not(jnp.any(opl_c != 0))
+        & jnp.logical_not(jnp.any(incidence != 0))
+    )
+
+
 def _is_fresh(source: RayBundle) -> bool:
     """True if the bundle is straight out of a source factory: zero opl,
-    zero compensation, zero incidence, all rays alive. Only called on
-    concrete (non-traced) arrays."""
-    try:
+    zero compensation, zero incidence, all rays alive.
+
+    The reductions run ON DEVICE and only one boolean scalar crosses to the
+    host — auto-detection used to pull ~9 B/ray (alive+opl+opl_c+incidence)
+    through np.asarray, which could dominate the 37 B/ray kernel it gates.
+    Host-resident NumPy bundles short-circuit without any device round trip.
+    """
+    leaves = (source.alive, source.opl, source.opl_c, source.incidence)
+    if any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return False  # under trace: cannot decide, stream conservatively
+    if all(isinstance(x, np.ndarray) for x in leaves):
         return bool(
-            np.all(np.asarray(source.alive))
-            and not np.any(np.asarray(source.opl))
-            and not np.any(np.asarray(source.opl_c))
-            and not np.any(np.asarray(source.incidence))
+            np.all(leaves[0])
+            and not np.any(leaves[1])
+            and not np.any(leaves[2])
+            and not np.any(leaves[3])
         )
-    except jax.errors.TracerArrayConversionError:
-        return False
+    return bool(_fresh_predicate(*leaves))
 
 
 def pallas_trace(

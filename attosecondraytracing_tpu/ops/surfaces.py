@@ -35,11 +35,14 @@ HIT_TOL = 1e-3
 _NEWTON_ITERS = 3
 _NEWTON_ITERS_TOROID = 6
 # the osculating-paraboloid seed converges in ONE iteration on every tested
-# geometry (grazing/steep/shallow, scripts/sweep_newton_iters.py), but the
-# validity residual is read from the *final* iteration's pre-correction point
-# (see _polish_candidates), so 2 is the working floor: at 2 the residual is
-# evaluated at the once-corrected (converged) root and results are
-# bit-identical to 3+ on every tested geometry
+# geometry (grazing/steep/shallow, scripts/sweep_newton_iters.py); the fast
+# path (_toroid_fast_root) therefore applies FAST-1 corrections and reads the
+# validity residual from one final shared evaluation at the corrected root —
+# i.e. FAST counts residual *evaluations*. 2 is the working floor: the
+# residual is evaluated at the once-corrected (converged) root and results
+# are bit-identical to 3+ on every tested geometry. For geometries outside
+# the swept set, set ART_TPU_TOROID_EXACT=1 to cross-check the fast hit masks
+# against the exact Ferrari solve (see tests/test_surfaces.py).
 _NEWTON_ITERS_TOROID_FAST = 2
 
 import os as _os
@@ -416,6 +419,56 @@ def intersect(surface, support, p, d, t_eps=T_EPS, tol=HIT_TOL):
     return t, hit
 
 
+def _toroid_fast_root(surface, q, u, t_eps):
+    """Shared float32 fast path for the toroid: pick a SINGLE seed — the
+    nearest forward crossing of the osculating paraboloid on the mirror side
+    (z<0); Newton converges to the torus root on the same side, which is
+    exactly the reference's nearest-valid pick (ART/ModuleMirror.py:27-38 +
+    the z<-R branch filter) — then apply ``_NEWTON_ITERS_TOROID_FAST - 1``
+    Newton corrections and ONE final residual evaluation at the corrected
+    root that is *shared* between root validation, the hit point, and (in the
+    fused caller) the normal.
+
+    Both :func:`intersect_c` and :func:`intersect_with_normal_c` call this,
+    so the two return bit-identical roots for the defect and non-defect
+    mirror paths. Returns ``(t, g_abs, (x, y, z), (inv_rho, inv_s, w))`` with
+    the latter tuple holding the torus-geometry factors of the final
+    evaluation (``w = rho - R``; the unnormalized normal has magnitude
+    ``1/inv_s``)."""
+    qx, qy, qz = q
+    ux, uy, uz = u
+    R, r = surface.major_radius, surface.minor_radius
+    s1, s2 = _paraboloid_seeds(surface, q, u)
+    far = jnp.asarray(jnp.inf, dtype=qx.dtype)
+
+    def rank(t):
+        t = jnp.where(jnp.isfinite(t), t, -1.0)
+        ok = (t > t_eps) & (qz + t * uz < 0.0)
+        return jnp.where(ok, t, far), t
+
+    r1, s1 = rank(s1)
+    r2, s2 = rank(s2)
+    # nearer valid crossing wins; with neither valid this falls back to the
+    # (sanitized) first root, and the post-polish validity test rejects it if
+    # it is a genuine miss
+    t = jnp.where(r1 <= r2, s1, s2)
+    # Newton updates (the paraboloid seed converges in one; see
+    # _NEWTON_ITERS_TOROID_FAST) ...
+    for _ in range(_NEWTON_ITERS_TOROID_FAST - 1):
+        x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
+        g, gp = _residual_c(surface, x, y, z, ux, uy, uz)
+        t = t - g / jnp.where(jnp.abs(gp) > 1e-12, gp, jnp.inf)
+    # ... then ONE shared evaluation at the polished root yields the validity
+    # residual, the hit point, and the normal factors
+    x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
+    inv_rho = jax.lax.rsqrt(jnp.maximum(x * x + z * z, 1e-30))
+    w = (x * x + z * z) * inv_rho - R
+    s2_ = w * w + y * y
+    inv_s = jax.lax.rsqrt(jnp.maximum(s2_, 1e-30))
+    g_abs = jnp.abs(s2_ * inv_s - r)
+    return t, g_abs, (x, y, z), (inv_rho, inv_s, w)
+
+
 def intersect_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
     """Component-form intersection: ``q = (x, y, z)``, ``u = (ux, uy, uz)``
     as (N,) arrays (full-lane layout on TPU). Returns (t, hit)."""
@@ -429,38 +482,25 @@ def intersect_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
         return t, (t > t_eps) & on_sup
 
     if isinstance(surface, Toroid):
-        # float32 = production TPU mode: the osculating-sphere seed + Newton
-        # reaches the patch root without the transcendental-heavy Ferrari
-        # solve (arccos/cbrt per ray); float64 = parity mode: all 4 exact
-        # quartic roots, matching the reference's np.roots-based selection
-        # even for exotic geometries. Override with ART_TPU_TOROID_EXACT=1.
+        # float32 = production TPU mode: the osculating-paraboloid seed +
+        # Newton reaches the patch root without the transcendental-heavy
+        # Ferrari solve (arccos/cbrt per ray); float64 = parity mode: all 4
+        # exact quartic roots, matching the reference's np.roots-based
+        # selection even for exotic geometries. Override with
+        # ART_TPU_TOROID_EXACT=1.
         fast = qx.dtype == jnp.float32 and not _TOROID_EXACT
         if fast:
-            # polish a SINGLE seed: the nearest forward crossing of the
-            # osculating paraboloid on the mirror side (z<0). Newton converges
-            # to the torus root on the same side, which is exactly the
-            # reference's nearest-valid pick (ART/ModuleMirror.py:27-38 + the
-            # z<-R branch filter) — half the polish cost of carrying both
-            # crossings.
-            s1, s2 = _paraboloid_seeds(surface, q, u)
-            far = jnp.asarray(jnp.inf, dtype=qx.dtype)
-
-            def rank(t):
-                t = jnp.where(jnp.isfinite(t), t, -1.0)
-                ok = (t > t_eps) & (qz + t * uz < 0.0)
-                return jnp.where(ok, t, far), t
-
-            r1, s1 = rank(s1)
-            r2, s2 = rank(s2)
-            # nearer valid crossing wins; with neither valid this falls back
-            # to the (sanitized) first root, and the post-polish validity
-            # test rejects it if it is a genuine miss
-            seed = jnp.where(r1 <= r2, s1, s2)
-            cands = [seed]
-            iters = _NEWTON_ITERS_TOROID_FAST
-        else:
-            cands = _toroid_seeds(surface, q, u)
-            iters = _NEWTON_ITERS_TOROID
+            t, g_abs, (x, y, z), _ = _toroid_fast_root(surface, q, u, t_eps)
+            ox, oy = support_offset_xy(surface)
+            hit = (
+                (t > t_eps)
+                & (g_abs < tol)
+                & (z < -surface.major_radius)
+                & sup.include(support, x - ox, y - oy)
+            )
+            return jnp.where(hit, t, 0.0), hit
+        cands = _toroid_seeds(surface, q, u)
+        iters = _NEWTON_ITERS_TOROID
     else:
         a, b, c = _quadratic_coeffs(surface, q, u)
         t1, t2 = _solve_quadratic(a, b, c)
@@ -527,39 +567,16 @@ def intersect_with_normal_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
         and not _TOROID_EXACT
     )
     if fast:
-        R, r = surface.major_radius, surface.minor_radius
-        s1, s2 = _paraboloid_seeds(surface, q, u)
-        far = jnp.asarray(jnp.inf, dtype=qx.dtype)
-
-        def rank(t):
-            t = jnp.where(jnp.isfinite(t), t, -1.0)
-            ok = (t > t_eps) & (qz + t * uz < 0.0)
-            return jnp.where(ok, t, far), t
-
-        r1, s1 = rank(s1)
-        r2, s2 = rank(s2)
-        t = jnp.where(r1 <= r2, s1, s2)
-        # Newton updates (the paraboloid seed converges in one; see
-        # _NEWTON_ITERS_TOROID_FAST) ...
-        for _ in range(_NEWTON_ITERS_TOROID_FAST - 1):
-            x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
-            g, gp = _residual_c(surface, x, y, z, ux, uy, uz)
-            t = t - g / jnp.where(jnp.abs(gp) > 1e-12, gp, jnp.inf)
-        # ... then ONE shared evaluation at the polished root yields the
-        # validity residual, the hit point, and the normal
-        x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
-        inv_rho = jax.lax.rsqrt(jnp.maximum(x * x + z * z, 1e-30))
-        w = (x * x + z * z) * inv_rho - R
-        s2_ = w * w + y * y
-        inv_s = jax.lax.rsqrt(jnp.maximum(s2_, 1e-30))
-        g_abs = jnp.abs(s2_ * inv_s - r)
+        t, g_abs, (x, y, z), (inv_rho, inv_s, w) = _toroid_fast_root(
+            surface, q, u, t_eps
+        )
         a = w * inv_rho * inv_s
         nx, ny, nz = -a * x, -y * inv_s, -a * z
         ox, oy = support_offset_xy(surface)
         hit = (
             (t > t_eps)
             & (g_abs < tol)
-            & (z < -R)
+            & (z < -surface.major_radius)
             & sup.include(support, x - ox, y - oy)
         )
         return jnp.where(hit, t, 0.0), hit, (nx, ny, nz), (x, y, z)

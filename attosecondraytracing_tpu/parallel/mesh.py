@@ -30,11 +30,27 @@ from ..ops.trace import trace
 
 
 def distributed_init(**kwargs):
-    """Initialize JAX multi-host distributed runtime (no-op if single host)."""
+    """Initialize JAX multi-host distributed runtime.
+
+    Falls back to single-host mode when initialization is impossible
+    (no coordinator configured / already initialized), but *says so*: a
+    silently-degraded multi-host job would otherwise trace 1/N of the rays
+    and report wrong statistics. Returns True if distributed mode is active."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        pass  # already initialized or single-process
+        return True
+    except (ValueError, RuntimeError) as exc:
+        import sys
+
+        print(
+            f"[attosecondraytracing_tpu] jax.distributed.initialize failed "
+            f"({type(exc).__name__}: {exc}); continuing single-host. This is "
+            f"fine for single-process runs, but a multi-host launch reaching "
+            f"this path would silently compute on one host only.",
+            file=sys.stderr,
+            flush=True,
+        )
+        return False
 
 
 def make_mesh(rays: int | None = None, scan: int = 1, devices=None) -> Mesh:
@@ -188,21 +204,11 @@ def source_stats_sharded(
     n_dev = mesh.devices.size
     n_local, phases, k_fracs = shard_source_offsets(n_total, n_dev)
 
-    # identical baking as the single-device wrapper (chief-ray refs included)
-    from ..ops.trace import trace as _trace
-
-    probe = pt.source_bundle(spec, 8)
-    pout = _trace(probe, elements, keep_history=False)
-    p = np.asarray(pout.p, np.float64)
-    d = np.asarray(pout.d, np.float64)
-    c = np.asarray(det_centre, np.float64)
-    n = np.asarray(det_normal, np.float64)
-    dn = d @ n
-    t_leg = ((c - p) @ n) / np.where(np.abs(dn) > 1e-30, dn, np.inf)
-    k0 = int(np.argmax(np.asarray(pout.alive)))
-    opl_ref = float((np.asarray(pout.opl, np.float64)
-                     - np.asarray(pout.opl_c, np.float64) + t_leg)[k0])
-    delay_offsets = tuple(float(-dist / dn[k0]) for dist in distances)
+    # identical baking as the single-device wrapper (chief-ray refs included,
+    # with the no-surviving-probe guard)
+    opl_ref, delay_offsets = pt.chief_ray_refs(
+        spec, elements, det_centre, det_normal, distances
+    )
     det = pt.bake_detector(elements, det_centre, det_normal, det_rot,
                            distances=distances, opl_ref=opl_ref,
                            delay_offsets=delay_offsets)

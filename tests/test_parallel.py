@@ -94,3 +94,22 @@ def test_sharded_trace_is_compute_local():
     reduced = jax.jit(with_stats).lower(src, els).compile()
     found = [c for c in _COLLECTIVES if c in reduced.as_text()]
     assert found, "expected a cross-device reduction in the statistics step"
+
+
+def test_distributed_init_reports_failure(monkeypatch, capsys):
+    """A failed jax.distributed.initialize must not be swallowed silently:
+    the fallback to single-host is announced on stderr and signalled by the
+    return value (VERDICT r2 #6)."""
+    import jax
+
+    from attosecondraytracing_tpu.parallel import mesh as pmesh
+
+    def boom(**kwargs):
+        raise RuntimeError("no coordinator address configured")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    ok = pmesh.distributed_init()
+    captured = capsys.readouterr()
+    assert ok is False
+    assert "continuing single-host" in captured.err
+    assert "no coordinator address configured" in captured.err
