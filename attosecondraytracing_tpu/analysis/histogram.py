@@ -84,6 +84,40 @@ def detector_image(
 
 
 @partial(jax.jit, static_argnames=("bins", "intensity_weighted"))
+def value_map(
+    bundle: RayBundle,
+    values,
+    centre,
+    normal,
+    rot,
+    bins: tuple[int, int] = (256, 256),
+    extent=None,
+    intensity_weighted: bool = True,
+):
+    """Per-pixel weighted mean of an arbitrary per-ray scalar ``values`` on
+    the detector plane (the binned generalization of the reference's
+    ColorCoded scatter plots). Returns ``(mean_image, weight_image,
+    (lo, hi))``; zero-weight pixels hold NaN."""
+    xy = stats.detector_points_2d(bundle, centre, normal, rot)
+    values = jnp.asarray(values)
+    w = bundle.alive.astype(xy.dtype)
+    if intensity_weighted:
+        w = w * bundle.intensity
+    if extent is None:
+        lo, hi = _detector_extent(xy, w)
+    else:
+        lo = jnp.asarray(extent[0], dtype=xy.dtype)
+        hi = jnp.asarray(extent[1], dtype=xy.dtype)
+    ix, iy, inside = _bin_indices(xy, lo, hi, bins)
+    wv = jnp.where(inside, w, 0.0)
+    flat = ix * bins[1] + iy
+    n = bins[0] * bins[1]
+    w_img = jnp.zeros(n, dtype=xy.dtype).at[flat].add(wv)
+    wd_img = jnp.zeros(n, dtype=xy.dtype).at[flat].add(wv * values)
+    mean = jnp.where(w_img > 0, wd_img / jnp.where(w_img > 0, w_img, 1.0), jnp.nan)
+    return mean.reshape(bins), w_img.reshape(bins), (lo, hi)
+
+
 def delay_map(
     bundle: RayBundle,
     centre,
@@ -99,21 +133,6 @@ def delay_map(
     hold NaN. The per-ray delays are the reference's detector delays
     (Detector.get_Delays, ART/ModuleDetector.py:254-279), so the image is the
     binned version of DelayGraph's scatter — at any bundle size."""
-    xy = stats.detector_points_2d(bundle, centre, normal, rot)
     delays = stats.detector_delays(bundle, centre, normal)
-    w = bundle.alive.astype(xy.dtype)
-    if intensity_weighted:
-        w = w * bundle.intensity
-    if extent is None:
-        lo, hi = _detector_extent(xy, w)
-    else:
-        lo = jnp.asarray(extent[0], dtype=xy.dtype)
-        hi = jnp.asarray(extent[1], dtype=xy.dtype)
-    ix, iy, inside = _bin_indices(xy, lo, hi, bins)
-    wv = jnp.where(inside, w, 0.0)
-    flat = ix * bins[1] + iy
-    n = bins[0] * bins[1]
-    w_img = jnp.zeros(n, dtype=xy.dtype).at[flat].add(wv)
-    wd_img = jnp.zeros(n, dtype=xy.dtype).at[flat].add(wv * delays)
-    mean = jnp.where(w_img > 0, wd_img / jnp.where(w_img > 0, w_img, 1.0), jnp.nan)
-    return mean.reshape(bins), w_img.reshape(bins), (lo, hi)
+    return value_map(bundle, delays, centre, normal, rot, bins=bins,
+                     extent=extent, intensity_weighted=intensity_weighted)

@@ -205,12 +205,90 @@ def FindOptimalDistancePallas(
         opt_duration = float(res["duration_sd"][ind])
 
     det.shiftByDistance(base_shift)
+
+    # float32 noise-floor guard: the stats kernel's duration readings carry
+    # ~0.6 fs of per-ray OPL noise (documented at ops/pallas_trace.py,
+    # pallas_source_detector_stats). When the optimum sits within ~2x that
+    # floor, the fitness landscape near the focus is flat noise and the
+    # argmin is arbitrary within it — refine with the two-pass float64 path
+    # (or at least say so loudly).
+    if opt_for in ("duration", "intensity") and opt_duration < DURATION_F32_FLOOR_FS:
+        refined = _x64_refine_distance(
+            spec, elements, n_rays, det, OptFor,
+            amplitude=amplitude * 0.1 ** max(Precision - 1, 0),
+            gaussian_edge=gaussian_edge, verbose=verbose,
+        )
+        if refined is not None:
+            det, opt_spot, opt_duration = refined
+        else:
+            import warnings
+
+            warnings.warn(
+                f"FindOptimalDistancePallas: best duration_sd "
+                f"{opt_duration:.3g} fs is below the ~{DURATION_F32_FLOOR_FS:.1f} fs "
+                f"float32 noise floor and float64 refinement is unavailable on "
+                f"this backend; the returned distance is only accurate to the "
+                f"flat region of the fitness. For sub-fs focus metrology run "
+                f"FindOptimalDistance on an x64 backend.",
+                stacklevel=2,
+            )
     if verbose:
         print(
             f"Optimal detector distance {det.get_distance():.3f} mm "
             f"(spot {opt_spot * 1e3:.3g} um, duration {opt_duration:.3g} fs)"
         )
     return det, opt_spot, opt_duration
+
+
+#: ~2x the documented ~0.6 fs float32 OPL noise of the fused stats kernel
+DURATION_F32_FLOOR_FS = 1.2
+
+
+def _x64_refine_distance(spec, elements, n_rays, det, OptFor, amplitude,
+                         gaussian_edge, verbose, max_rays: int = 20000):
+    """Final float64 refinement for sub-noise-floor duration optima: rebuild
+    the (reference-semantics, float64 NumPy) source from the BakedSource,
+    trace it on the XLA path under x64, and run the grid-refinement optimizer
+    in the last window of the kernel scan. Returns (det, spot, duration) or
+    None when the backend cannot do float64 (TPU without x64)."""
+    import jax
+
+    from ..models import sources as msource
+
+    enable_x64 = getattr(jax, "enable_x64", None)
+    if enable_x64 is None:
+        return None
+    axis = np.asarray(spec.rot, np.float64) @ np.array([0.0, 0.0, 1.0])
+    n = min(n_rays, max_rays)
+    if spec.kind == "cone":
+        bundle = msource.PointSource(np.asarray(spec.origin), axis,
+                                     float(np.arctan(spec.radius)), n)
+    else:
+        bundle = msource.PlaneWaveDisk(np.asarray(spec.origin), axis,
+                                       float(spec.radius), n)
+    if gaussian_edge is not None:
+        bundle = msource.ApplyGaussianIntensityToRayList(bundle, gaussian_edge)
+    try:
+        with enable_x64():
+            from ..ops.trace import trace
+
+            out = jax.jit(
+                lambda b: trace(b, elements, keep_history=False)
+            )(jax.tree.map(lambda x: np.asarray(x, np.float64)
+                           if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                           bundle))
+            det2, spot, duration = FindOptimalDistance(
+                det, out, OptFor, Amplitude=float(amplitude), Precision=2,
+                IntensityWeighted=gaussian_edge is not None, verbose=False,
+            )
+    except Exception as exc:
+        if verbose:
+            print(f"(float64 refinement unavailable: {type(exc).__name__}: {exc})")
+        return None
+    if verbose:
+        print("(duration near the float32 noise floor: refined with the "
+              "two-pass float64 optimizer)")
+    return det2, float(spot), float(duration)
 
 
 # ---------------------------------------------------------------------------

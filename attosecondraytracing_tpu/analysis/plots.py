@@ -133,6 +133,82 @@ def SpotDiagram(bundle: RayBundle, detector, DrawAiryAndFourier=False, ColorCode
     return fig
 
 
+def _image_data(bundle: RayBundle, detector, ColorCoded, bins):
+    """(image, (lo, hi), colorbar label) for the device-binned plots; the
+    image is NaN outside the beam for mean-value maps."""
+    from .histogram import value_map
+
+    if ColorCoded in (None, "Intensity"):
+        img, (lo, hi) = detector.get_Image(bundle, bins=(bins, bins))
+        img = np.asarray(img)
+        label = "Intensity (arb.u.)" if ColorCoded else None
+        return np.where(img > 0, img, np.nan), (np.asarray(lo), np.asarray(hi)), label
+    if ColorCoded == "Delay":
+        mean, _w, (lo, hi) = detector.get_DelayMap(bundle, bins=(bins, bins))
+        return np.asarray(mean), (np.asarray(lo), np.asarray(hi)), "Delay (fs)"
+    if ColorCoded == "Incidence":
+        mean, _w, (lo, hi) = value_map(
+            bundle, np.rad2deg(np.asarray(bundle.incidence)),
+            detector.centre, detector.normal, detector._plane_rotation(),
+            bins=(bins, bins),
+        )
+        return np.asarray(mean), (np.asarray(lo), np.asarray(hi)), "Incidence angle (deg)"
+    raise ValueError(f"unknown ColorCoded {ColorCoded!r}")
+
+
+def SpotDiagramImage(bundle: RayBundle, detector, DrawAiryAndFourier=False,
+                     ColorCoded=None, bins=256):
+    """Device-binned spot diagram: the gather-free equivalent of
+    :func:`SpotDiagram` for production-size bundles (only O(bins^2) bytes
+    leave the device; the scatter version fetches every ray). Default is the
+    intensity histogram; ``ColorCoded`` "Delay"/"Incidence" show per-pixel
+    weighted means instead."""
+    img, (lo, hi), zlabel = _image_data(bundle, detector, ColorCoded, bins)
+    spot_sd, duration_sd = detector.get_SpotAndDuration(bundle)
+    # recentre the extent like the scatter plot's get_PointList2DCentre
+    mid = 0.5 * (lo + hi)
+    lo_um, hi_um = (lo - mid) * 1e3, (hi - mid) * 1e3
+
+    fig, ax = plt.subplots()
+    im = ax.imshow(
+        img.T,  # histogram layout: x along axis 0 -> transpose for imshow
+        origin="lower",
+        extent=(lo_um[0], hi_um[0], lo_um[1], hi_um[1]),
+        aspect="equal",
+        cmap="inferno" if ColorCoded in (None, "Intensity") else "viridis",
+    )
+    if zlabel:
+        fig.colorbar(im).set_label(zlabel)
+    if DrawAiryAndFourier:
+        na = float(stats.numerical_aperture(bundle))
+        wavelength = float(np.asarray(bundle.wavelength))
+        airy_um = float(stats.airy_radius(wavelength, na)) * 1e3
+        if airy_um > 0:
+            th = np.linspace(0, 2 * np.pi, 100)
+            ax.plot(airy_um * np.cos(th), airy_um * np.sin(th), c="white", lw=0.8)
+    label = f"{detector.get_distance():.3f} mm\n{float(spot_sd) * 1e3:.1f} μm SD"
+    if ColorCoded == "Delay":
+        label += f"\n{float(duration_sd):.2f} fs SD"
+    ax.set_xlabel("X (µm)")
+    ax.set_ylabel("Y (µm)")
+    title = (ColorCoded + " + " if ColorCoded else "") + "Spot Diagram (device-binned)"
+    ax.set_title(title)
+    ax.text(0.02, 0.98, label, transform=ax.transAxes, va="top", ha="left",
+            color="white", fontsize=8)
+    _maybe_show()
+    return fig
+
+
+def DelayMapImage(bundle: RayBundle, detector, DeltaFT=None,
+                  DrawAiryAndFourier=False, ColorCoded=None, bins=256):
+    """Device-binned spatio-temporal distortion map: per-pixel mean delay
+    [fs] over the detector plane — the production-size replacement for the 3D
+    :func:`DelayGraph` scatter (``ColorCoded`` "Intensity"/"Incidence" swap
+    the mapped quantity, as in the reference's color-coded delay graphs)."""
+    which = "Delay" if ColorCoded in (None, "Delay") else ColorCoded
+    return SpotDiagramImage(bundle, detector, DrawAiryAndFourier, which, bins)
+
+
 def DelayGraph(bundle: RayBundle, detector, DeltaFT, DrawAiryAndFourier=False, ColorCoded=None):
     """3D spot diagram with ray delay on the z-axis
     (ART/ModuleAnalysisAndPlots.py:284-440)."""

@@ -23,6 +23,12 @@ def default_analysis_options() -> dict:
         "plot_IntensityMirrorProjection": False,
         "plot_IncidenceMirrorProjection": False,
         "save_results": True,
+        # TPU-native additions (not in ART/DefaultOptions.py): spot/delay
+        # plots render as device-binned images instead of per-ray scatters —
+        # "auto" switches at production bundle sizes where gathering every
+        # ray to the host is impractical; True/False force either mode
+        "image_plots": "auto",
+        "image_bins": 256,
     }
 
 

@@ -134,6 +134,50 @@ def optimize_detector(
     return det, spot, duration
 
 
+def _fused_optimizer_available(chain: OpticalChain) -> bool:
+    """True when the detector-distance optimization can run as fused
+    trace->stats Pallas scans: the chain's source is in-kernel-synthesizable,
+    the bundle is production-size, and the chain traced on a fused engine
+    (which already verified backend + no-defects eligibility)."""
+    from .models.chain import PALLAS_MIN_RAYS
+
+    return (
+        chain.source_spec is not None
+        and chain.source_rays.n_rays >= PALLAS_MIN_RAYS
+        and chain.last_trace_engine in ("pallas", "pallas-source")
+    )
+
+
+def optimize_detector_fused(chain: OpticalChain, detector: Detector,
+                            DetectorOptions: dict, verbose: bool = True):
+    """Detector-distance optimization through the fused source->trace->stats
+    kernel (FindOptimalDistancePallas): one kernel pass per refinement level,
+    over the full bundle — no per-ray data ever reaches HBM or the host."""
+    from .analysis.optimizer import FindOptimalDistancePallas
+
+    spec = chain.source_spec
+    det, spot, duration = FindOptimalDistancePallas(
+        spec.baked(),
+        chain.device_elements(),
+        spec.n_rays,
+        detector,
+        DetectorOptions["OptFor"],
+        gaussian_edge=spec.gaussian_edge,
+        verbose=False,
+    )
+    if verbose:
+        result = (
+            f"The optimal detector distance is {det.get_distance():.3f} mm, "
+            f"with intensity-weighted"
+        )
+        if DetectorOptions["OptFor"] in ["intensity", "spotsize", "size"]:
+            result += f" spatial std of {spot * 1e3:.3g} μm"
+        if DetectorOptions["OptFor"] in ["intensity", "duration"]:
+            result += f" temporal std of {duration:.3g} fs."
+        print(result + " [fused kernel scan over all rays]", flush=True)
+    return det, spot, duration
+
+
 def get_result_summary(detector: Detector, bundle: RayBundle, verbose: bool = False):
     """(spot SD, duration SD) + optional printed summary
     (GetResultSummary, ART/ModuleAnalysisAndPlots.py:81-129)."""
@@ -171,17 +215,39 @@ def make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, Analy
     for which in ("Delay", "Intensity", "Incidence"):
         if A[f"plot_{which}MirrorProjection"]:
             plots.MirrorProjection(chain, DetectorOptions["ReflectionNumber"], detector, which)
+
+    # device-binned images replace per-ray scatters for production bundles
+    # (fetching 1e7+ rays to the host for a scatter plot is impractical);
+    # "auto" switches on at the same threshold as the Pallas trace engine
+    from .models.chain import PALLAS_MIN_RAYS
+
+    use_images = A["image_plots"] is True or (
+        A["image_plots"] == "auto" and bundle.n_rays >= PALLAS_MIN_RAYS
+    )
+    bins = int(A["image_bins"])
     if A["plot_SpotDiagram"]:
-        plots.SpotDiagram(bundle, detector, A["DrawAiryAndFourier"])
+        if use_images:
+            plots.SpotDiagramImage(bundle, detector, A["DrawAiryAndFourier"], bins=bins)
+        else:
+            plots.SpotDiagram(bundle, detector, A["DrawAiryAndFourier"])
     for which in ("Delay", "Intensity", "Incidence"):
         if A[f"plot_{which}SpotDiagram"]:
-            plots.SpotDiagram(bundle, detector, A["DrawAiryAndFourier"], which)
+            if use_images:
+                plots.SpotDiagramImage(bundle, detector, A["DrawAiryAndFourier"], which, bins=bins)
+            else:
+                plots.SpotDiagram(bundle, detector, A["DrawAiryAndFourier"], which)
     for which in ("Delay", "Intensity", "Incidence"):
         if A[f"plot_{which}Graph"]:
-            plots.DelayGraph(
-                bundle, detector, SourceProperties["DeltaFT"], A["DrawAiryAndFourier"],
-                None if which == "Delay" else which,
-            )
+            if use_images:
+                plots.DelayMapImage(
+                    bundle, detector, SourceProperties["DeltaFT"], A["DrawAiryAndFourier"],
+                    None if which == "Delay" else which, bins=bins,
+                )
+            else:
+                plots.DelayGraph(
+                    bundle, detector, SourceProperties["DeltaFT"], A["DrawAiryAndFourier"],
+                    None if which == "Delay" else which,
+                )
 
 
 def run_ART(
@@ -199,8 +265,21 @@ def run_ART(
     if precomputed_bundle is not None:
         bundle = precomputed_bundle
     else:
-        output_rays = chain.get_output_rays()
-        bundle = output_rays[DetectorOptions["ReflectionNumber"]]
+        A = AnalysisOptions
+        needs_history = A["plot_Render"] or any(
+            A[f"plot_{w}MirrorProjection"] for w in ("Delay", "Intensity", "Incidence")
+        )
+        is_final = DetectorOptions["ReflectionNumber"] in (-1, len(chain.optical_elements) - 1)
+        if is_final and not needs_history:
+            # production path: history-free trace through the engine
+            # auto-selector (fused Pallas kernels for big bundles on TPU,
+            # XLA otherwise; see OpticalChain.trace_final)
+            bundle = chain.trace_final()
+            if AnalysisOptions["verbose"] and chain.last_trace_engine != "xla":
+                print(f"[trace engine: {chain.last_trace_engine}]", flush=True)
+        else:
+            output_rays = chain.get_output_rays()
+            bundle = output_rays[DetectorOptions["ReflectionNumber"]]
 
     etransmission = float(stats.energy_transmission(chain.source_rays, bundle))
     if AnalysisOptions["verbose"]:
@@ -214,14 +293,22 @@ def run_ART(
     detector = setup_detector(chain, DetectorOptions, bundle)
 
     if DetectorOptions["AutoDetectorDistance"]:
-        detector, spot_sd, duration_sd = optimize_detector(
-            bundle,
-            detector,
-            DetectorOptions,
-            AnalysisOptions["verbose"],
-            maxRaystoConsider=1000,
-            IntensityWeighted=True,
-        )
+        if _fused_optimizer_available(chain):
+            # fused trace->stats scan: every refinement level is one kernel
+            # pass over ALL rays (the reference caps the optimizer at 1000
+            # sampled rays for speed, ARTmain.py:168-171 — unnecessary here)
+            detector, spot_sd, duration_sd = optimize_detector_fused(
+                chain, detector, DetectorOptions, AnalysisOptions["verbose"]
+            )
+        else:
+            detector, spot_sd, duration_sd = optimize_detector(
+                bundle,
+                detector,
+                DetectorOptions,
+                AnalysisOptions["verbose"],
+                maxRaystoConsider=1000,
+                IntensityWeighted=True,
+            )
     else:
         spot_sd, duration_sd = get_result_summary(detector, bundle, AnalysisOptions["verbose"])
 

@@ -11,15 +11,47 @@ scans don't recompile.
 from __future__ import annotations
 
 import copy
+import os
+import sys
 from functools import partial
+from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops import host_geometry as hg
 from ..ops.bundle import RayBundle
 from ..ops.trace import trace
 from . import sources as msource
+
+
+class FusedSourceInfo(NamedTuple):
+    """Host-side description of a source that the fused Pallas kernels can
+    synthesize in-kernel (ops.pallas_trace.BakedSource inputs + the Gaussian
+    intensity edge). Attached to an OpticalChain by OEPlacement; kept in sync
+    by shift_source/tilt_source; cleared when the user replaces the bundle."""
+
+    kind: str            # 'cone' (point source) | 'disk' (plane-wave disk)
+    origin: tuple        # lab-frame source point / disk centre
+    axis: tuple          # beam axis (unit)
+    param: float         # half-divergence [rad] for 'cone', radius [mm] for 'disk'
+    gaussian_edge: float | None  # ApplyGaussianIntensityToRayList edge value
+    n_rays: int
+    wavelength: float
+
+    def baked(self):
+        from ..ops.pallas_trace import make_source_spec
+
+        return make_source_spec(self.kind, np.asarray(self.origin),
+                                np.asarray(self.axis), self.param)
+
+
+#: bundles below this size stay on the XLA path under engine="auto": the
+#: Pallas kernels bake chain geometry as compile-time constants, so every
+#: distinct chain costs a fresh Mosaic compile — worth it for production-size
+#: bundles, pure overhead for the reference-default 1000 rays.
+PALLAS_MIN_RAYS = int(os.environ.get("ART_TPU_PALLAS_MIN_RAYS", "200000"))
 
 
 @partial(jax.jit, static_argnames=("meta", "ignore_defects", "keep_history"))
@@ -57,10 +89,13 @@ class OpticalChain:
         description: str = "",
         loop_variable_name: str | None = None,
         loop_variable_value: float | None = None,
+        source_spec: FusedSourceInfo | None = None,
     ):
         # deepcopy so later mutation of the caller's objects does not change
         # this chain (reference does the same, ART/ModuleOpticalChain.py:118-120)
+        self._source_spec = None
         self.source_rays = source_rays
+        self._source_spec = source_spec
         self.optical_elements = copy.deepcopy(list(optical_elements))
         self.description = description
         self.loop_variable_name = loop_variable_name
@@ -68,10 +103,36 @@ class OpticalChain:
         self._output_rays = None
         self._last_source_hash = None
         self._last_elements_hash = None
+        #: engine used by the most recent trace_final call:
+        #: "xla" | "pallas" | "pallas-source" (None before the first trace)
+        self.last_trace_engine = None
+
+    # ------------------------------------------------------------------
+    @property
+    def source_rays(self) -> RayBundle:
+        return self._source_rays
+
+    @source_rays.setter
+    def source_rays(self, bundle: RayBundle):
+        # a user-supplied bundle invalidates the fused-source description —
+        # internal mutations that preserve it go through _set_source instead
+        self._source_rays = bundle
+        self._source_spec = None
+
+    def _set_source(self, bundle: RayBundle, spec: FusedSourceInfo | None):
+        self._source_rays = bundle
+        self._source_spec = spec
+
+    @property
+    def source_spec(self) -> FusedSourceInfo | None:
+        """Fused-source description when the current source bundle is known to
+        be an in-kernel-synthesizable Vogel source (None otherwise)."""
+        return self._source_spec
 
     # ------------------------------------------------------------------
     def copy_chain(self) -> "OpticalChain":
-        return OpticalChain(self.source_rays, self.optical_elements, self.description)
+        return OpticalChain(self.source_rays, self.optical_elements, self.description,
+                            source_spec=self._source_spec)
 
     def device_elements(self):
         return [e.to_device() for e in self.optical_elements]
@@ -89,10 +150,78 @@ class OpticalChain:
             self._last_elements_hash = el_hash
         return self._output_rays
 
-    def trace_final(self, ignore_defects: bool = True) -> RayBundle:
-        """Only the bundle after the last element (cheapest path: no history
-        buffers — used by benchmarks and optimizers)."""
-        return _traced(self.source_rays, self.device_elements(), ignore_defects, False)
+    def _pallas_eligible(self, elements) -> bool:
+        """True when the fused Pallas kernel can trace this chain: a non-CPU
+        backend (CPU only has the slow interpreter) and no *grid* defect maps
+        (Fourrier/MeasuredMap interpolation needs gathers the kernel does not
+        do; Zernike defects evaluate in-kernel — see ops/pallas_trace.py)."""
+        from ..ops.defects import ZernikeDefect
+        from ..ops.trace import MirrorElement
+
+        if jax.default_backend() == "cpu":
+            return False
+        return all(
+            all(isinstance(d, ZernikeDefect) for d in el.defects)
+            for el in elements
+            if isinstance(el, MirrorElement)
+        )
+
+    def trace_final(self, ignore_defects: bool = True, engine: str | None = None) -> RayBundle:
+        """Only the bundle after the last element (no history buffers — the
+        production path for statistics, detector optimization and benchmarks).
+
+        ``engine``: "auto" (default; override with ART_TPU_ENGINE) routes
+        production-size bundles (>= PALLAS_MIN_RAYS rays) through the fused
+        Pallas whole-chain kernel on TPU — the in-kernel-source variant when
+        the chain's source is a factory Vogel source (``source_spec``), the
+        streamed variant otherwise — with transparent fallback to the XLA
+        trace; "pallas" forces the fused kernel (raises if unsupported);
+        "xla" forces the reference-parity XLA path. The engine actually used
+        is recorded in ``self.last_trace_engine``.
+        """
+        engine = engine or os.environ.get("ART_TPU_ENGINE", "auto")
+        if engine not in ("auto", "pallas", "xla"):
+            raise ValueError('engine must be one of "auto", "pallas", "xla"')
+        elements = self.device_elements()
+        n_rays = self.source_rays.n_rays
+        want_pallas = engine == "pallas" or (
+            engine == "auto"
+            and n_rays >= PALLAS_MIN_RAYS
+            and self._pallas_eligible(elements)
+        )
+        if want_pallas:
+            try:
+                out = self._trace_final_pallas(elements, ignore_defects)
+                return out
+            except Exception as exc:
+                if engine == "pallas":
+                    raise
+                print(
+                    f"[attosecondraytracing_tpu] fused Pallas trace unavailable "
+                    f"({type(exc).__name__}: {exc}); falling back to the XLA path.",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        self.last_trace_engine = "xla"
+        return _traced(self.source_rays, elements, ignore_defects, False)
+
+    def _trace_final_pallas(self, elements, ignore_defects: bool = True) -> RayBundle:
+        from ..ops import pallas_trace as pt
+
+        spec = self._source_spec
+        if spec is not None and spec.kind in ("cone", "disk"):
+            out = pt.pallas_trace_source(
+                spec.baked(), elements, spec.n_rays, wavelength=spec.wavelength,
+                ignore_defects=ignore_defects,
+            )
+            # ray i of the kernel's in-kernel spiral is ray i of the factory
+            # bundle, so the source intensity profile rides along by index
+            out = out._replace(intensity=jnp.asarray(self.source_rays.intensity))
+            self.last_trace_engine = "pallas-source"
+            return out
+        out = pt.pallas_trace(self.source_rays, elements, ignore_defects=ignore_defects)
+        self.last_trace_engine = "pallas"
+        return out
 
     # ------------------------------------------------------------------
     # visualization
@@ -147,7 +276,12 @@ class OpticalChain:
             else:
                 raise ValueError('The shift direction must be one of ["vert", "horiz", "random"].')
         shift = distance * hg.normalize(translation)
-        self.source_rays = self.source_rays._replace(p=np.asarray(self.source_rays.p) + shift)
+        spec = self._source_spec
+        if spec is not None:  # a rigid shift keeps the source fused-traceable
+            spec = spec._replace(origin=tuple(np.asarray(spec.origin) + shift))
+        self._set_source(
+            self.source_rays._replace(p=np.asarray(self.source_rays.p) + shift), spec
+        )
 
     def tilt_source(self, axis, angle: float):
         """Rotate source directions by ``angle`` deg about an axis: a lab
@@ -170,7 +304,19 @@ class OpticalChain:
                     'The tilt axis must be one of ["in_plane", "out_plane", "random"] or a 3-vector.'
                 )
         R = hg.rotation_around_axis(rot_axis, np.deg2rad(angle))
-        self.source_rays = self.source_rays._replace(d=np.asarray(self.source_rays.d) @ R.T)
+        spec = self._source_spec
+        if spec is not None and spec.kind == "cone":
+            # a point-source tilt is exactly a rotated cone axis (the spiral
+            # rolls about the new axis, but every per-ray radius — and hence
+            # the intensity profile and all statistics — is unchanged)
+            spec = spec._replace(axis=tuple(R @ np.asarray(spec.axis)))
+        else:
+            # a tilted plane wave leaves its points on the old disk plane —
+            # not a fused disk source any more
+            spec = None
+        self._set_source(
+            self.source_rays._replace(d=np.asarray(self.source_rays.d) @ R.T), spec
+        )
 
     def get_source_loop_list(self, axis: str, loop_variable_values):
         """List of chains with the source tilted/shifted/refocused over the
@@ -211,7 +357,17 @@ class OpticalChain:
                 src = msource.PointSource(
                     p0, d0, float(x), self.source_rays.n_rays, float(self.source_rays.wavelength)
                 )
-                mod.source_rays = msource.ApplyGaussianIntensityToRayList(src, edge_int)
+                src_axis = np.asarray(d0, dtype=float)  # spiral ray 0 IS the axis
+                mod._set_source(
+                    msource.ApplyGaussianIntensityToRayList(src, edge_int),
+                    FusedSourceInfo(
+                        kind="cone", origin=tuple(np.asarray(p0, float)),
+                        axis=tuple(src_axis / np.linalg.norm(src_axis)),
+                        param=float(x), gaussian_edge=edge_int,
+                        n_rays=self.source_rays.n_rays,
+                        wavelength=float(self.source_rays.wavelength),
+                    ),
+                )
             chains.append(mod)
         return chains
 

@@ -28,15 +28,22 @@ from .supports import SupportRoundHole
 
 
 def _build_source(SourceProperties: dict, optics_list):
-    """Source bundle per the reference's rules (ART/ModuleProcessing.py:55-79):
-    plane wave / point / extended source + Gaussian intensity to 1/e^2."""
+    """(source bundle, FusedSourceInfo | None) per the reference's rules
+    (ART/ModuleProcessing.py:55-79): plane wave / point / extended source +
+    Gaussian intensity to 1/e^2. Point and plane-wave sources also get a
+    fused-source description so the production trace can synthesize them
+    in-kernel (extended sources have no in-kernel form)."""
+    from .chain import FusedSourceInfo
+
     divergence = SourceProperties["Divergence"]
     source_size = SourceProperties["SourceSize"]
     n_rays = SourceProperties["NumberRays"]
     wavelength = SourceProperties["Wavelength"]
+    edge = 1 / np.e**2
 
     origin = np.zeros(3)
     direction = np.array([1.0, 0.0, 0.0])
+    spec = None
     if divergence == 0:
         if source_size == 0:
             support = optics_list[0].support
@@ -47,11 +54,19 @@ def _build_source(SourceProperties: dict, optics_list):
         else:
             radius = source_size / 2
         bundle = msource.PlaneWaveDisk(origin, direction, radius, n_rays, Wavelength=wavelength)
+        spec = FusedSourceInfo(kind="disk", origin=(0.0, 0.0, 0.0),
+                               axis=(1.0, 0.0, 0.0), param=float(radius),
+                               gaussian_edge=edge, n_rays=n_rays,
+                               wavelength=float(wavelength))
     elif source_size == 0:
         bundle = msource.PointSource(origin, direction, divergence, n_rays, Wavelength=wavelength)
+        spec = FusedSourceInfo(kind="cone", origin=(0.0, 0.0, 0.0),
+                               axis=(1.0, 0.0, 0.0), param=float(divergence),
+                               gaussian_edge=edge, n_rays=n_rays,
+                               wavelength=float(wavelength))
     else:
         bundle = msource.ExtendedSource(origin, direction, source_size, divergence, n_rays, Wavelength=wavelength)
-    return msource.ApplyGaussianIntensityToRayList(bundle, 1 / np.e**2)
+    return msource.ApplyGaussianIntensityToRayList(bundle, edge), spec
 
 
 def _single_placement(
@@ -65,7 +80,7 @@ def _single_placement(
     incidence = [np.deg2rad(i % 360) for i in IncidenceAngleList]
     inc_plane = [np.deg2rad(i % 360) for i in IncidencePlaneAngleList]
 
-    bundle = _build_source(SourceProperties, OpticsList)
+    bundle, source_spec = _build_source(SourceProperties, OpticsList)
 
     centre = np.zeros(3)
     central_vec = np.array([1.0, 0.0, 0.0])
@@ -110,7 +125,7 @@ def _single_placement(
                 )
             central_vec = out[-1].vector
 
-    return OpticalChain(bundle, elements, Description)
+    return OpticalChain(bundle, elements, Description, source_spec=source_spec)
 
 
 def _which_indices(lst):

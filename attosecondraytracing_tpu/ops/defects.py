@@ -48,11 +48,17 @@ class ZernikeDefect(NamedTuple):
     """Zernike-sum height error over the circumscribed circle of radius R.
 
     ``coeffs`` maps the Andersen (n, m) index (static) to a scalar coefficient
-    (traced), so gradients flow into the coefficients.
+    (traced), so gradients flow into the coefficients. Inside the Pallas
+    kernel the coefficients arrive as a hashable tuple of ((n, m), float)
+    pairs instead (compile-time constants; see pallas_trace._bake_defect).
     """
 
-    coeffs: dict
+    coeffs: dict  # or tuple[((n, m), float), ...] in baked kernel form
     radius: jnp.ndarray  # () circumscribed-circle radius used to normalize
+
+
+def _coeff_items(coeffs):
+    return coeffs.items() if isinstance(coeffs, dict) else coeffs
 
 
 def _bilinear(grid, x0, y0, dx, dy, x, y):
@@ -83,12 +89,13 @@ def defect_offset(defect, x, y):
     if isinstance(defect, GridDefect):
         return _bilinear(defect.height, defect.x0, defect.y0, defect.dx, defect.dy, x, y)
     if isinstance(defect, ZernikeDefect):
+        items = tuple(_coeff_items(defect.coeffs))
         xn = x / defect.radius
         yn = y / defect.radius
-        max_order = max(k[0] for k in defect.coeffs)
+        max_order = max(k[0] for k, _ in items)
         Z, _, _ = zernike_value_and_grad(xn, yn, max_order)
         h = jnp.zeros_like(xn)
-        for k, c in defect.coeffs.items():
+        for k, c in items:
             h = h + c * Z[k]
         return h
     raise TypeError(f"unknown defect type {type(defect)}")
@@ -101,13 +108,14 @@ def defect_slopes(defect, x, y):
         gy = _bilinear(defect.slope_y, defect.x0, defect.y0, defect.dx, defect.dy, x, y)
         return gx, gy
     if isinstance(defect, ZernikeDefect):
+        items = tuple(_coeff_items(defect.coeffs))
         xn = x / defect.radius
         yn = y / defect.radius
-        max_order = max(k[0] for k in defect.coeffs)
+        max_order = max(k[0] for k, _ in items)
         _, DX, DY = zernike_value_and_grad(xn, yn, max_order)
         gx = jnp.zeros_like(xn)
         gy = jnp.zeros_like(xn)
-        for k, c in defect.coeffs.items():
+        for k, c in items:
             gx = gx + c * DX[k]
             gy = gy + c * DY[k]
         return gx / defect.radius, gy / defect.radius

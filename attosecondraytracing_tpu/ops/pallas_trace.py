@@ -16,8 +16,10 @@ so bit-exactness is not guaranteed).
 
 Layout: each (N,) ray component is reshaped to (N/128, 128) and tiled in
 blocks of (BLOCK_ROWS, 128) — rays on the 128-wide lane axis, full VPU
-utilization. Grid-defect interpolation (gathers) is not supported in-kernel;
-chains with defects fall back to the XLA path.
+utilization. Zernike surface defects run in-kernel (pure polynomial
+recurrence, coefficients baked); grid-defect interpolation (gathers —
+Fourrier/MeasuredMap) is not supported in-kernel, and chains carrying those
+fall back to the XLA path.
 
 Frames: the kernel runs the chain in *chained-frame* mode
 (trace.compose_chain): one composed 3x3 affine per element instead of a
@@ -72,6 +74,25 @@ def bake(x):
     return tuple(tuple(float(v) for v in row) for row in arr)
 
 
+def _bake_defect(defect):
+    """Hashable compile-time form of a device defect. Zernike defects are
+    pure polynomial evaluation (ops/zernike.py, no gathers) — fully
+    kernel-compatible; grid-interpolated defects (Fourrier/MeasuredMap) need
+    gathers and stay on the XLA path."""
+    from .defects import ZernikeDefect
+
+    if isinstance(defect, ZernikeDefect):
+        coeffs = defect.coeffs if isinstance(defect.coeffs, dict) else dict(defect.coeffs)
+        return ZernikeDefect(
+            coeffs=tuple(sorted((k, float(np.asarray(v))) for k, v in coeffs.items())),
+            radius=float(np.asarray(defect.radius)),
+        )
+    raise NotImplementedError(
+        "pallas_trace supports only Zernike defects in-kernel; "
+        "grid-interpolated defect maps (Fourrier/MeasuredMap) use the XLA path"
+    )
+
+
 def _static_elements(elements):
     """Bake element parameters into nested python-float tuples (compile-time
     constants inside the kernel)."""
@@ -87,8 +108,6 @@ def _static_elements(elements):
                 )
             )
         else:
-            if el.defects:
-                raise NotImplementedError("pallas_trace does not support defect maps; use the XLA path")
             baked.append(
                 MirrorElement(
                     rot=bake(el.rot),
@@ -96,7 +115,7 @@ def _static_elements(elements):
                     centre=bake(el.centre),
                     surface=type(el.surface)(*[bake(v) for v in el.surface]),
                     support=type(el.support)(*[bake(v) for v in el.support]),
-                    defects=(),
+                    defects=tuple(_bake_defect(d) for d in el.defects),
                 )
             )
     return tuple(baked)
@@ -112,12 +131,13 @@ def _static_chain(elements):
     return baked, baked_maps, baked_final
 
 
-def _run_chain(s: TraceState, elements, maps, final):
+def _run_chain(s: TraceState, elements, maps, final, ignore_defects=True):
     # chained-frame mode: one rotation per element + one final to-lab map,
     # incidence only at the last element (matches trace(keep_history=False);
     # dead rays keep exact lab coordinates — they are re-expressed by every
     # subsequent frame map)
-    return run_chain_chained(s, elements, maps, final)
+    return run_chain_chained(s, elements, maps, final,
+                             ignore_defects=ignore_defects)
 
 
 def _write_outputs(s: TraceState, outs):
@@ -134,7 +154,7 @@ def _write_outputs(s: TraceState, outs):
     oinc[:] = s.incidence
 
 
-def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements, maps, final):
+def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements, maps, final, ignore_defects):
     s = TraceState(
         px=px[:], py=py[:], pz=pz[:],
         dx=dx[:], dy=dy[:], dz=dz[:],
@@ -142,10 +162,10 @@ def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements, map
         alive=alive[:] != 0,
         incidence=inc[:],
     )
-    _write_outputs(_run_chain(s, elements, maps, final), outs)
+    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects), outs)
 
 
-def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, maps, final, n_rays, block_rows):
+def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, maps, final, n_rays, block_rows, ignore_defects):
     """Fresh-source variant: opl/opl_c/incidence start at 0 and the alive
     mask is just 'is this lane a real ray or padding', a static comparison of
     the global ray index against n_rays — none of the four needs an HBM
@@ -162,21 +182,25 @@ def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, maps, final, n_rays, 
         alive=idx < n_rays,
         incidence=zeros,
     )
-    _write_outputs(_run_chain(s, elements, maps, final), outs)
+    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects), outs)
 
 
-@partial(jax.jit, static_argnames=("elements", "maps", "final", "block_rows", "interpret", "fresh", "n_rays"))
-def _pallas_trace_padded(comps, elements, maps, final, block_rows, interpret, fresh=False, n_rays=0):
+@partial(jax.jit, static_argnames=("elements", "maps", "final", "block_rows",
+                                   "interpret", "fresh", "n_rays", "ignore_defects"))
+def _pallas_trace_padded(comps, elements, maps, final, block_rows, interpret,
+                         fresh=False, n_rays=0, ignore_defects=True):
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
     fspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dtype = comps[0].dtype
     if fresh:
         kernel = partial(_kernel_fresh, elements=elements, maps=maps, final=final,
-                         n_rays=n_rays, block_rows=block_rows)
+                         n_rays=n_rays, block_rows=block_rows,
+                         ignore_defects=ignore_defects)
         in_specs = [fspec] * 6  # px..dz only
     else:
-        kernel = partial(_kernel, elements=elements, maps=maps, final=final)
+        kernel = partial(_kernel, elements=elements, maps=maps, final=final,
+                         ignore_defects=ignore_defects)
         in_specs = [fspec] * 8 + [fspec, fspec]  # px..dz, opl, opl_c, alive(int8), incidence
     n_f32 = 8  # px..dz, opl, opl_c
     out_specs = tuple([fspec] * n_f32 + [fspec, fspec])
@@ -293,7 +317,7 @@ def _source_maps(source: BakedSource, elements):
 
 
 def _kernel_source(scalars, *outs, source, elements, maps, final, n_rays,
-                   n_total, block_rows):
+                   n_total, block_rows, ignore_defects):
     """Near-zero-input kernel: the source bundle is synthesized from the ray
     index (iota), so the trace reads nothing per-ray from HBM — only the
     traced bundle is written (~40% of the fused kernel's HBM traffic was the
@@ -320,14 +344,15 @@ def _kernel_source(scalars, *outs, source, elements, maps, final, n_rays,
         alive=idx < n_rays,
         incidence=zeros,
     )
-    _write_outputs(_run_chain(s, elements, maps, final), outs)
+    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects), outs)
 
 
 @partial(jax.jit, static_argnames=("source", "elements", "maps", "final",
                                    "block_rows", "interpret", "n_rays",
-                                   "n_total", "rows"))
+                                   "n_total", "rows", "ignore_defects"))
 def _pallas_trace_source_padded(phase, k_frac, source, elements, maps, final,
-                                block_rows, interpret, n_rays, n_total, rows):
+                                block_rows, interpret, n_rays, n_total, rows,
+                                ignore_defects=True):
     if n_rays >= 1 << 24:
         raise ValueError("per-call ray count must stay < 2^24 (float index "
                          "exactness); chunk or shard larger ranges")
@@ -336,7 +361,7 @@ def _pallas_trace_source_padded(phase, k_frac, source, elements, maps, final,
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = partial(_kernel_source, source=source, elements=elements,
                      maps=maps, final=final, n_rays=n_rays, n_total=n_total,
-                     block_rows=block_rows)
+                     block_rows=block_rows, ignore_defects=ignore_defects)
     out_shape = tuple(
         [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 8
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
@@ -409,6 +434,7 @@ def pallas_trace_source(
     phase=0.0,
     k_frac=0.0,
     n_total: int | None = None,
+    ignore_defects: bool = True,
 ) -> RayBundle:
     """Trace ``n_rays`` from an in-kernel-synthesized source through
     ``elements``; the kernel reads zero bytes from HBM (the source is pure
@@ -424,7 +450,7 @@ def pallas_trace_source(
     interpret = jax.default_backend() == "cpu"
     outs = _pallas_trace_source_padded(
         phase, k_frac, spec, baked, maps, final, block_rows, interpret,
-        n_rays, n_total or n_rays, n_pad // LANES
+        n_rays, n_total or n_rays, n_pad // LANES, ignore_defects
     )
     (opx, opy, opz, odx, ody, odz, oopl, oopl_c, oalive, oinc) = outs
 
@@ -583,7 +609,8 @@ def chief_ray_refs(spec: BakedSource, elements, det_centre, det_normal,
 
 
 def _kernel_source_stats(scalars, *outs, source, elements, maps, final, det,
-                         n_rays, n_total, block_rows, gaussian_edge):
+                         n_rays, n_total, block_rows, gaussian_edge,
+                         ignore_defects):
     shape = (block_rows, LANES)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -614,16 +641,18 @@ def _kernel_source_stats(scalars, *outs, source, elements, maps, final, det,
     )
     for el, (M, b) in zip(elements, maps):
         # incidence is never observed by the statistics: skip it everywhere
-        s = chained_step(el, M, b, s, want_incidence=False)
+        s = chained_step(el, M, b, s, want_incidence=False,
+                         ignore_defects=ignore_defects)
     _stats_epilogue(s, det, weights, outs, block_rows)
 
 
 @partial(jax.jit, static_argnames=("source", "elements", "maps", "final", "det",
                                    "block_rows", "interpret", "n_rays",
-                                   "n_total", "rows", "gaussian_edge"))
+                                   "n_total", "rows", "gaussian_edge",
+                                   "ignore_defects"))
 def _pallas_source_stats_padded(phase, k_frac, source, elements, maps, final,
                                 det, block_rows, interpret, n_rays, n_total,
-                                rows, gaussian_edge):
+                                rows, gaussian_edge, ignore_defects=True):
     if n_rays >= 1 << 24:
         raise ValueError("per-call ray count must stay < 2^24 (float index "
                          "exactness); chunk or shard larger ranges")
@@ -633,7 +662,7 @@ def _pallas_source_stats_padded(phase, k_frac, source, elements, maps, final,
     kernel = partial(_kernel_source_stats, source=source, elements=elements,
                      maps=maps, final=final, det=det, n_rays=n_rays,
                      n_total=n_total, block_rows=block_rows,
-                     gaussian_edge=gaussian_edge)
+                     gaussian_edge=gaussian_edge, ignore_defects=ignore_defects)
     n_programs = rows // block_rows
     out_shape = tuple(
         jax.ShapeDtypeStruct((n_programs * 8, LANES), jnp.float32)
@@ -664,6 +693,7 @@ def pallas_source_detector_stats(
     phase=0.0,
     k_frac=0.0,
     n_total: int | None = None,
+    ignore_defects: bool = True,
 ):
     """Whole production pipeline in ONE kernel pass: synthesize the source,
     trace the chain, project onto the detector plane at every scan distance,
@@ -735,7 +765,7 @@ def pallas_source_detector_stats(
     def _chunk(phase_i, k_frac_i, n_local, rows):
         outs = _pallas_source_stats_padded(
             phase_i, k_frac_i, spec, baked, maps, final, det, block_rows,
-            interpret, n_local, n_total, rows, gaussian_edge,
+            interpret, n_local, n_total, rows, gaussian_edge, ignore_defects,
         )
         # reduce the per-program partials ON DEVICE: only (n_stats, 128)
         # floats leave the chip per chunk (a billion-ray scan would
@@ -846,6 +876,7 @@ def pallas_trace(
     elements,
     block_rows: int = BLOCK_ROWS,
     fresh: bool | None = None,
+    ignore_defects: bool = True,
 ) -> RayBundle:
     """Trace ``source`` through ``elements`` with the fused kernel; returns
     the final bundle (no history). Geometry is baked statically.
@@ -885,7 +916,8 @@ def pallas_trace(
     # mask (streamed, or the fresh path's static index comparison)
     interpret = jax.default_backend() == "cpu"
     outs = _pallas_trace_padded(tuple(comps), baked, maps, final, block_rows,
-                                interpret, fresh=fresh, n_rays=n)
+                                interpret, fresh=fresh, n_rays=n,
+                                ignore_defects=ignore_defects)
     (opx, opy, opz, odx, ody, odz, oopl, oopl_c, oalive, oinc) = outs
 
     def unprep(x):

@@ -347,12 +347,19 @@ def _affine_c(M, b, px, py, pz, dx, dy, dz):
     return (qx, qy, qz), (ux, uy, uz)
 
 
-def chained_step(element, M, b, s: TraceState, want_incidence: bool) -> TraceState:
+def chained_step(element, M, b, s: TraceState, want_incidence: bool,
+                 ignore_defects: bool = True) -> TraceState:
     """One element step in chained-frame mode: input state patch-relative to
     the previous element (lab absolute for the first), output patch-relative
     to THIS element. Dead rays keep their coordinates and are re-expressed by
     every subsequent map, so their final lab position is preserved exactly
-    like the plain trace."""
+    like the plain trace.
+
+    Defect-bearing mirrors follow the same semantics as :func:`mirror_step_c`
+    (and the reference, ART/ModuleMirror.py:925-939): the intersection is
+    always that of the *deformed* surface (hit shifted along the ray by the
+    local height error), while ``ignore_defects`` gates only the slope
+    composition into the reflecting normal."""
     (qx, qy, qz), (ux, uy, uz) = _affine_c(
         M, b, s.px, s.py, s.pz, s.dx, s.dy, s.dz
     )
@@ -364,6 +371,32 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool) -> TraceSta
         valid = (t > T_EPS) & ~on_support
         rx, ry, rz = ux, uy, uz
         dn = -uz  # mask incidence uses +u: acos(uz)
+    elif element.defects:
+        cen = element.centre
+        t, valid = srf.intersect_c(element.surface, element.support, (qx, qy, qz), (ux, uy, uz))
+        # shift the hit along the ray by the local height error
+        # (ART/ModuleMirror.py:969-980)
+        x0, y0, z0 = qx + t * ux, qy + t * uy, qz + t * uz
+        n0x, n0y, n0z = srf.normal_c(element.surface, x0, y0, z0)
+        h = jnp.zeros_like(t)
+        for defect in element.defects:
+            h = h + defect_offset(defect, x0 - cen[0], y0 - cen[1])
+        cos_alpha = jnp.clip(-(ux * n0x + uy * n0y + uz * n0z), 1e-6, None)
+        t = t - h / cos_alpha
+        x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
+        nx, ny, nz = srf.normal_c(element.surface, x, y, z)
+        if not ignore_defects:
+            # compose base normal with defect slopes (ART/ModuleGeometry.py:394-407)
+            gx = -nx / nz
+            gy = -ny / nz
+            for defect in element.defects:
+                dgx, dgy = defect_slopes(defect, x - cen[0], y - cen[1])
+                gx = gx + dgx
+                gy = gy + dgy
+            inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+            nx, ny, nz = -gx * inv, -gy * inv, inv
+        dn = ux * nx + uy * ny + uz * nz
+        rx, ry, rz = ux - 2.0 * dn * nx, uy - 2.0 * dn * ny, uz - 2.0 * dn * nz
     else:
         cen = element.centre
         t, valid, (nx, ny, nz), (x, y, z) = srf.intersect_with_normal_c(
@@ -392,13 +425,15 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool) -> TraceSta
     )
 
 
-def run_chain_chained(s: TraceState, elements, maps, final) -> TraceState:
+def run_chain_chained(s: TraceState, elements, maps, final,
+                      ignore_defects: bool = True) -> TraceState:
     """Run a whole chain in chained-frame mode and restore lab coordinates.
     Equivalent to folding state_step over the chain with
     ``keep_history=False`` (incidence computed only at the last element)."""
     last = len(elements) - 1
     for i, (el, (M, b)) in enumerate(zip(elements, maps)):
-        s = chained_step(el, M, b, s, want_incidence=(i == last))
+        s = chained_step(el, M, b, s, want_incidence=(i == last),
+                         ignore_defects=ignore_defects)
     R_K, pos_K = final
     # p_lab = R_K^T x + pos_K ; d_lab = R_K^T d  (x already patch-relative)
     x = s.px

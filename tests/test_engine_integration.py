@@ -1,0 +1,152 @@
+"""Production-path integration: the driver and OpticalChain route big traces
+through the fused Pallas engine (VERDICT r2 #1).
+
+CPU CI runs the kernels in interpret mode; the engine *selection* logic is
+exercised by forcing eligibility (the backend check itself is what keeps CPU
+users on XLA in production).
+"""
+
+import matplotlib
+
+matplotlib.use("Agg", force=True)
+
+import numpy as np
+import pytest
+
+from attosecondraytracing_tpu.main import main, run_ART, complete_defaults
+from attosecondraytracing_tpu.models import chain as mchain
+from attosecondraytracing_tpu.models import masks as mmask
+from attosecondraytracing_tpu.models import mirrors as mmirror
+from attosecondraytracing_tpu.models import supports as msupp
+from attosecondraytracing_tpu.models.placement import OEPlacement
+
+
+def _flagship(n_rays=4096, divergence=25e-3):
+    focal, incidence = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, incidence)
+    toroidal = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    mask = mmask.Mask(msupp.SupportRoundHole(Radius=20, RadiusHole=7, CenterHoleX=0, CenterHoleY=0))
+    props = {
+        "Divergence": divergence,
+        "SourceSize": 0,
+        "Wavelength": 80e-6,
+        "DeltaFT": 0.5,
+        "NumberRays": n_rays,
+    }
+    return OEPlacement(props, [mask, toroidal, toroidal], [400.0, 100.0, 500.0],
+                       [0.0, incidence, -incidence], [0.0, 0.0, 0.0], "flagship")
+
+
+def test_oeplacement_attaches_source_spec():
+    chain = _flagship(512)
+    spec = chain.source_spec
+    assert spec is not None and spec.kind == "cone"
+    assert spec.n_rays == 512 and spec.param == pytest.approx(25e-3)
+    # user-replaced bundles invalidate the fused-source description
+    chain.source_rays = chain.source_rays
+    assert chain.source_spec is None
+
+
+def test_source_spec_survives_shift_and_tilt():
+    chain = _flagship(512)
+    chain.shift_source(np.array([0.0, 1.0, 0.0]), 0.25)
+    assert chain.source_spec is not None
+    assert chain.source_spec.origin == pytest.approx((0.0, 0.25, 0.0))
+    chain.tilt_source(np.array([0.0, 0.0, 1.0]), 0.1)
+    spec = chain.source_spec
+    assert spec is not None  # cone tilts stay fused-traceable
+    axis = np.asarray(spec.axis)
+    assert axis @ np.array([1.0, 0.0, 0.0]) == pytest.approx(np.cos(np.deg2rad(0.1)))
+
+
+def test_trace_final_engine_selection_and_parity(monkeypatch):
+    """engine='pallas' (interpret mode on CPU) agrees with the XLA path and
+    records which engine ran; engine='auto' on CPU stays on XLA."""
+    chain = _flagship(2048)
+    out_xla = chain.trace_final(engine="xla")
+    assert chain.last_trace_engine == "xla"
+
+    out_pl = chain.trace_final(engine="pallas")
+    assert chain.last_trace_engine == "pallas-source"
+
+    # the fused source synthesizes its own float32 spiral, so compare
+    # statistics, not rays: survivor count and spot centroid/size
+    a_x, a_p = np.asarray(out_xla.alive), np.asarray(out_pl.alive)
+    assert abs(a_x.sum() - a_p.sum()) <= 0.01 * a_x.sum() + 5
+    px = np.asarray(out_xla.p)[a_x]
+    pp = np.asarray(out_pl.p)[a_p]
+    assert np.allclose(px.mean(axis=0), pp.mean(axis=0), atol=2e-2)
+    assert np.allclose(px.std(axis=0), pp.std(axis=0), rtol=2e-2, atol=2e-2)
+    # intensities ride along by spiral index
+    assert np.allclose(np.asarray(out_pl.intensity), np.asarray(chain.source_rays.intensity))
+
+    # auto on CPU backend -> XLA (Pallas would be the interpreter)
+    monkeypatch.setattr(mchain, "PALLAS_MIN_RAYS", 1)
+    chain.trace_final(engine="auto")
+    assert chain.last_trace_engine == "xla"
+
+
+def test_trace_final_streamed_pallas_when_no_spec():
+    chain = _flagship(2048)
+    chain.source_rays = chain.source_rays  # drop the spec
+    out_xla = chain.trace_final(engine="xla")
+    out_pl = chain.trace_final(engine="pallas")
+    assert chain.last_trace_engine == "pallas"
+    # identical source bundle -> ray-for-ray agreement (f32 envelope)
+    assert np.array_equal(np.asarray(out_xla.alive), np.asarray(out_pl.alive))
+    alive = np.asarray(out_xla.alive)
+    assert np.allclose(np.asarray(out_xla.p)[alive], np.asarray(out_pl.p)[alive],
+                       atol=5e-4)
+
+
+def test_driver_uses_fused_engine_and_image_plots(monkeypatch, capsys):
+    """A stock CONFIG-style run at production size selects the fused engine,
+    the fused detector optimizer, and device-binned image plots (VERDICT r2
+    'Done' criterion, validated here by forcing eligibility on CPU)."""
+    chain = _flagship(4096)
+    monkeypatch.setattr(mchain, "PALLAS_MIN_RAYS", 1024)
+    monkeypatch.setattr(mchain.OpticalChain, "_pallas_eligible", lambda self, els: True)
+
+    sp, do, ao = complete_defaults(
+        {"NumberRays": 4096},
+        {"AutoDetectorDistance": True, "DistanceDetector": 500.0, "OptFor": "spotsize"},
+        {"verbose": True, "save_results": False,
+         "plot_SpotDiagram": True, "plot_DelayGraph": True},
+    )
+    result = run_ART(chain, sp, do, ao)
+    captured = capsys.readouterr()
+    assert chain.last_trace_engine == "pallas-source"
+    assert "[trace engine: pallas-source]" in captured.out
+    assert "[fused kernel scan over all rays]" in captured.out
+    _chain, det, etransmission, spot_sd, duration_sd = result
+    assert 0 < etransmission <= 100
+    assert det.get_distance() == pytest.approx(500.0, abs=25.0)
+    assert spot_sd < 0.5  # mm; near-focus spot
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_image_plot_functions_render():
+    from attosecondraytracing_tpu.analysis import plots
+    from attosecondraytracing_tpu.main import setup_detector
+
+    chain = _flagship(1024)
+    bundle = chain.get_output_rays()[-1]
+    det = setup_detector(
+        chain,
+        {"ReflectionNumber": -1, "ManualDetector": False, "DistanceDetector": 500.0},
+        bundle,
+    )
+    figs = [
+        plots.SpotDiagramImage(bundle, det, DrawAiryAndFourier=True, bins=64),
+        plots.SpotDiagramImage(bundle, det, ColorCoded="Delay", bins=64),
+        plots.SpotDiagramImage(bundle, det, ColorCoded="Incidence", bins=64),
+        plots.DelayMapImage(bundle, det, 0.5, bins=64),
+    ]
+    for fig in figs:
+        assert fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
