@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..analysis import stats
 from ..ops.bundle import RayBundle
@@ -136,6 +137,7 @@ def gradient_align(
     survival_weight: float = 1.0,
     params: AlignmentParams | None = None,
     verbose: bool = False,
+    engine: str = "auto",
 ):
     """Host convenience loop: Adam-descend the alignment of a chain onto a
     fixed detector plane; returns (params, loss history).
@@ -144,6 +146,12 @@ def gradient_align(
     w.r.t. angles are ~f^2 larger than w.r.t. shifts, so plain SGD needs
     per-axis learning rates. ``lr`` is therefore an angle/shift step scale
     (radians/mm per iteration ceiling).
+
+    ``engine``: "auto" uses the fused Pallas forward-mode gradient engine
+    (ops/pallas_grad.py — O(1) gradient memory, one kernel pass per
+    parameter) when the chain's source is fused-traceable, the bundle is
+    production-size, and the backend is a TPU; "pallas"/"xla" force either
+    path. The XLA path is reverse-mode through the batched trace.
     """
     import optax
 
@@ -151,25 +159,51 @@ def gradient_align(
     source = chain.source_rays
     det_rot = detector._plane_rotation()
     if params is None:
-        params = zero_params(len(elements), dtype=jnp.asarray(source.p).dtype)
+        params = zero_params(len(elements), dtype=jnp.float32)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
     centre = jnp.asarray(detector.centre)
     normal = jnp.asarray(detector.normal)
     rot = jnp.asarray(det_rot)
 
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(focus_loss)(
-            params, source, elements, centre, normal, rot,
+    use_fused = engine == "pallas"
+    if engine == "auto":
+        from ..models.chain import PALLAS_MIN_RAYS
+
+        use_fused = (
+            chain.source_spec is not None
+            and source.n_rays >= PALLAS_MIN_RAYS
+            and chain._pallas_eligible(elements)
+        )
+
+    if use_fused:
+        from ..ops import pallas_grad as pg
+
+        spec = pg.make_loss_spec(
+            chain.source_spec, elements, detector.centre, detector.normal,
             duration_weight=duration_weight, survival_weight=survival_weight,
         )
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        src_rot = np.asarray(chain.source_spec.baked().rot)
+        src_origin = np.asarray(chain.source_spec.origin)
+
+        def value_and_grad(p):
+            return pg.fused_focus_value_and_grad(
+                p, spec, elements, src_rot, src_origin,
+                detector.centre, detector.normal, det_rot,
+            )
+    else:
+        @jax.jit
+        def value_and_grad(p):
+            return jax.value_and_grad(focus_loss)(
+                p, source, elements, centre, normal, rot,
+                duration_weight=duration_weight, survival_weight=survival_weight,
+            )
 
     history = []
     for i in range(iters):
-        params, opt_state, loss = step(params, opt_state)
+        loss, grads = value_and_grad(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
         history.append(float(loss))
         if verbose and (i % max(1, iters // 10) == 0):
             print(f"align iter {i}: loss {history[-1]:.6g}")

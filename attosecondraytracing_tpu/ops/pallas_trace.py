@@ -528,6 +528,15 @@ def _stats_epilogue(s: TraceState, det: BakedDetector, weights, outs, block_rows
 
     Writes one (1, LANES) row per output stat: lane j holds distance j's
     partial sum for this grid program (J <= LANES distances per kernel)."""
+    rows = stats_rows(s, det, weights)
+    for name, ref in zip(STATS_FIELDS, outs):
+        ref[:] = rows[name]
+
+
+def stats_rows(s: TraceState, det: BakedDetector, weights):
+    """Pure form of the stats epilogue: dict of (8, LANES) partial-sum rows
+    (row 0, lane j = distance j). Kept side-effect-free so the forward-mode
+    gradient kernel (ops/pallas_grad.py) can jax.jvp through it."""
     w = jnp.where(s.alive, weights, 0.0)
     c, n = det.centre, det.normal
     dn = s.dx * n[0] + s.dy * n[1] + s.dz * n[2]
@@ -562,8 +571,7 @@ def _stats_epilogue(s: TraceState, det: BakedDetector, weights, outs, block_rows
         }
         for name, v in vals.items():
             rows[name] = rows[name] + jnp.sum(v) * onehot
-    for name, ref in zip(STATS_FIELDS, outs):
-        ref[:] = rows[name]
+    return rows
 
 
 def chief_ray_refs(spec: BakedSource, elements, det_centre, det_normal,

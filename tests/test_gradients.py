@@ -109,3 +109,111 @@ def test_grad_wrt_surface_parameters():
     eps = 1e-4
     fd = (float(loss(radii + jnp.array([eps, 0.0]))) - float(loss(radii - jnp.array([eps, 0.0])))) / (2 * eps)
     np.testing.assert_allclose(float(g[0]), fd, rtol=1e-3)
+
+
+def test_fused_pallas_grads_match_xla_grads():
+    """The forward-mode Pallas gradient engine (ops/pallas_grad.py) must
+    reproduce reverse-mode XLA gradients of the focus loss on the flagship
+    chain (VERDICT r2 #2). Both paths are evaluated on the *same* source
+    (the kernel's own float32 spiral + closed-form Gaussian weights) so the
+    only differences are f32 reassociation and JVP-vs-VJP rounding."""
+    import pytest
+    import jax
+    import jax.numpy as jnp
+
+    from attosecondraytracing_tpu.analysis import alignment as al
+    from attosecondraytracing_tpu.analysis import stats
+    from attosecondraytracing_tpu.models import masks as mmask
+    from attosecondraytracing_tpu.models import mirrors as mmirror
+    from attosecondraytracing_tpu.models import supports as msupp
+    from attosecondraytracing_tpu.models.detector import Detector
+    from attosecondraytracing_tpu.models.placement import OEPlacement
+    from attosecondraytracing_tpu.ops import pallas_grad as pg
+    from attosecondraytracing_tpu.ops import pallas_trace as pt
+    from attosecondraytracing_tpu.ops.trace import trace
+
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    mask = mmask.Mask(msupp.SupportRoundHole(20, 7, 0, 0))
+    props = {"Divergence": 25e-3, "SourceSize": 0, "Wavelength": 80e-6,
+             "DeltaFT": 0.5, "NumberRays": 8192}
+    chain = OEPlacement(props, [mask, tor, tor], [400, 100, 500],
+                        [0, inc, -inc], [0, 0, 0])
+    elements = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+    n = 8192
+    edge = float(np.exp(-2.0))
+
+    src_info = chain.source_spec
+    assert src_info is not None
+    baked_src = src_info.baked()
+
+    det = Detector(chain.optical_elements[-1].position)
+    probe = pt.source_bundle(baked_src, 256, wavelength=80e-6)
+    det.autoplace(trace(probe, elements, keep_history=False), focal - 5.0)
+    det_rot = det._plane_rotation()
+
+    spec = pg.make_loss_spec(
+        src_info._replace(gaussian_edge=edge, n_rays=n), elements,
+        det.centre, det.normal, duration_weight=0.0, survival_weight=1.0,
+    )
+
+    # start slightly misaligned so gradients are nonzero
+    params = al.zero_params(len(elements), dtype=jnp.float32)
+    params = params._replace(
+        angles=params.angles.at[1, 0].set(2e-4).at[2, 2].set(-1e-4),
+        shifts=params.shifts.at[1, 0].set(0.05),
+    )
+
+    loss_pl, grads_pl = pg.fused_focus_value_and_grad(
+        params, spec, elements, np.asarray(baked_src.rot),
+        np.asarray(src_info.origin), det.centre, det.normal, det_rot,
+    )
+
+    # XLA reference: identical physics — kernel-form source + rr-law weights
+    src = pt.source_bundle(baked_src, n, wavelength=80e-6)
+    kf = jnp.arange(n, dtype=jnp.float32)
+    weights = jnp.exp(np.log(edge) * kf / n)
+    src = src._replace(intensity=weights)
+
+    def xla_loss(p):
+        return al.focus_loss(
+            p, src, elements, jnp.asarray(det.centre, jnp.float32),
+            jnp.asarray(det.normal, jnp.float32), jnp.asarray(det_rot, jnp.float32),
+            duration_weight=0.0, survival_weight=1.0,
+        )
+
+    loss_x, grads_x = jax.value_and_grad(xla_loss)(params)
+
+    assert float(loss_pl) == pytest.approx(float(loss_x), rel=2e-3)
+    for g_pl, g_x in [(grads_pl.angles, grads_x.angles), (grads_pl.shifts, grads_x.shifts)]:
+        g_pl, g_x = np.asarray(g_pl), np.asarray(g_x)
+        scale = max(np.abs(g_x).max(), 1e-12)
+        np.testing.assert_allclose(g_pl, g_x, atol=2e-2 * scale, rtol=2e-2)
+
+
+def test_gradient_align_fused_descends():
+    """gradient_align(engine='pallas') must descend the loss on a misaligned
+    flagship chain through the fused engine (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from attosecondraytracing_tpu.analysis import alignment as al
+    from attosecondraytracing_tpu.models import mirrors as mmirror
+    from attosecondraytracing_tpu.models import supports as msupp
+    from attosecondraytracing_tpu.models.detector import Detector
+    from attosecondraytracing_tpu.models.placement import OEPlacement
+
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    props = {"Divergence": 25e-3, "SourceSize": 0, "Wavelength": 80e-6,
+             "DeltaFT": 0.5, "NumberRays": 2048}
+    chain = OEPlacement(props, [tor, tor], [500, 600], [inc, -inc], [0, 0])
+    chain.rotate_OE(0, "roll", 0.3)  # misalign
+
+    det = Detector(chain.optical_elements[-1].position)
+    det.autoplace(chain.trace_final(engine="xla"), focal)
+    params, history = al.gradient_align(
+        chain, det, iters=12, lr=2e-4, engine="pallas", survival_weight=0.1,
+    )
+    assert history[-1] < 0.9 * history[0], history
