@@ -74,6 +74,38 @@ def build_device(n_rays: int):
     return source, elements
 
 
+_COMPILE_SECONDS = {}  # per-path compile+first-run budget, reported in the JSON line
+
+
+def warmup_mosaic(verbose=True):
+    """Absorb the one-time per-process Pallas/Mosaic toolchain warmup on a
+    trivial add-one kernel so per-path compile numbers are honest.
+
+    Measured on the axon tunnel (2026-08-20): the FIRST Pallas kernel
+    execution in a process pays ~500-700 s of backend warmup regardless of
+    kernel content (a tiny add-one kernel: 720 s; the flagship whole-chain
+    kernel immediately after: 1.5 s; a re-baked variant: 0.9 s). Round 2's
+    'pallas_src compile: 513 s' was this warmup misattributed to whichever
+    kernel happened to run first."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def add_one(x, o):
+        o[:] = x[:] + 1.0
+
+    fspec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t0 = time.perf_counter()
+    f = pl.pallas_call(add_one, grid=(1,), in_specs=[fspec], out_specs=fspec,
+                       out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                       interpret=jax.default_backend() == "cpu")
+    v = float(jax.jit(f)(jnp.zeros((8, 128), jnp.float32)).sum())
+    assert v == 8 * 128
+    dt = time.perf_counter() - t0
+    _COMPILE_SECONDS["mosaic_warmup"] = round(dt, 1)
+    if verbose:
+        print(f"# mosaic warmup (tiny kernel): {dt:.1f}s", file=sys.stderr)
+
+
 def _slope_time(step_fn, arg, k_lo=1, k_hi=5, rounds=6, verbose=True, label=""):
     """Per-trace seconds via slope timing: (min t(k_hi) - min t(k_lo)) /
     (k_hi - k_lo).
@@ -100,8 +132,10 @@ def _slope_time(step_fn, arg, k_lo=1, k_hi=5, rounds=6, verbose=True, label=""):
     t0 = time.perf_counter()
     timed(k_lo)
     timed(k_hi)
+    compile_s = time.perf_counter() - t0
+    _COMPILE_SECONDS[label or "unnamed"] = round(compile_s, 1)
     if verbose:
-        print(f"# {label} compile+first runs: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        print(f"# {label} compile+first runs: {compile_s:.1f}s", file=sys.stderr)
     lo = min(timed(k_lo) for _ in range(rounds))
     hi = min(timed(k_hi) for _ in range(rounds))
     return (hi - lo) / (k_hi - k_lo)
@@ -117,6 +151,9 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
     source, elements = build_device(n_rays)
     if verbose:
         print(f"# build (on device): {time.perf_counter() - t_start:.1f}s", file=sys.stderr)
+    # pay the one-time per-process Mosaic warmup on a trivial kernel so the
+    # per-path compile budgets below are attributable (see warmup_mosaic)
+    warmup_mosaic(verbose=verbose)
 
     # --- XLA path: whole chain in one jit, elements baked ------------------
     @partial(jax.jit, static_argnames=("reps",))
@@ -221,6 +258,10 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
                 "xla_rays_per_second": n_rays / results["xla"],
                 "pallas_rays_per_second": n_rays / results["pallas"],
                 "pallas_src_rays_per_second": n_rays / results["pallas_src"],
+                # compile budget [s]: mosaic_warmup is the one-time
+                # per-process toolchain cost; per-path entries are the real
+                # kernel compile+first-run times (regressions show up here)
+                "compile_seconds": dict(_COMPILE_SECONDS),
             }
         )
     )
