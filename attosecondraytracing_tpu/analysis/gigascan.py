@@ -1,0 +1,153 @@
+"""Giga-ray detector images: chunked fused-source tracing + device binning.
+
+The fused-source kernel (ops/pallas_trace.pallas_trace_source) synthesizes
+and traces rays from nothing but the ray index, so the number of rays in a
+"bundle" stops being bounded by memory: this module runs the spot diagram and
+the spatio-temporal delay map — ART's raison d'être
+(ART/ModuleAnalysisAndPlots.py:133-440) — at billions of rays by streaming
+2^23-ray chunks through the kernel and accumulating device-binned histograms.
+Per chunk, only the traced state transiently exists in HBM (~300 MB) and only
+the O(bins^2) images persist; nothing per-ray ever reaches the host.
+
+Delays are accumulated against a fixed chief-ray reference (not the per-chunk
+mean, which would shift chunk to chunk) and re-centred to the global weighted
+mean at the end — identical semantics to Detector.get_Delays at any scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bundle import RayBundle
+from ..ops.geometry import kahan_add
+from ..ops.precision import LIGHT_SPEED_MM_S
+from . import stats
+from .histogram import _bin_indices
+
+
+@partial(jax.jit, static_argnames=("bins",))
+def _chunk_binned_sums(bundle: RayBundle, weights, centre, normal, rot,
+                       lo, hi, opl_ref, bins):
+    """(w_img, wd_img) for one traced chunk: weight and weight*delay
+    histograms on a FIXED extent, delays [fs] relative to ``opl_ref``."""
+    xy = stats.detector_points_2d(bundle, centre, normal, rot)
+    _, t = stats.detector_points_3d(bundle, centre, normal)
+    s, c = kahan_add(bundle.opl, bundle.opl_c, t)
+    # (s - opl_ref) is a same-magnitude cancellation (exact); the Kahan
+    # compensation then applies at full significance (see stats.detector_delays)
+    delay_fs = ((s - opl_ref) - c) * (1e15 / LIGHT_SPEED_MM_S)
+    w = jnp.where(bundle.alive, weights, 0.0)
+    ix, iy, inside = _bin_indices(xy, lo, hi, bins)
+    wv = jnp.where(inside, w, 0.0)
+    flat = ix * bins[1] + iy
+    n = bins[0] * bins[1]
+    w_img = jnp.zeros(n, dtype=xy.dtype).at[flat].add(wv)
+    wd_img = jnp.zeros(n, dtype=xy.dtype).at[flat].add(wv * delay_fs)
+    return w_img.reshape(bins), wd_img.reshape(bins)
+
+
+_PHI_FRAC = 0.3819660112501051  # golden turn fraction (ops.pallas_trace)
+
+
+def fused_source_images(
+    source_spec,
+    elements,
+    detector,
+    n_total: int | None = None,
+    bins: tuple[int, int] = (512, 512),
+    extent=None,
+    chunk: int = 1 << 23,
+    ignore_defects: bool = True,
+):
+    """Intensity image + mean-delay map of ``n_total`` fused-source rays.
+
+    ``source_spec`` is a chain's FusedSourceInfo (models/chain.py);
+    ``n_total`` defaults to its ray count but may be arbitrarily larger —
+    the source is synthesized in-kernel, so a billion-ray image costs only
+    time, not memory. Returns a dict with ``image`` (weighted intensity
+    histogram), ``mean_delay`` [fs, NaN off-beam, re-centred to the global
+    weighted mean], ``weight_image``, ``extent`` (lo, hi) [mm], and
+    ``sum_w``.
+
+    The reference's SpotDiagram/DelayGraph scatter plots
+    (ART/ModuleAnalysisAndPlots.py:133-440) fetch every ray to the host;
+    this streams 2^23-ray chunks through the zero-HBM-read kernel instead.
+    """
+    from ..ops import pallas_trace as pt
+    from ..ops.trace import trace
+
+    baked = source_spec.baked()
+    n_total = int(n_total if n_total is not None else source_spec.n_rays)
+    rot = detector._plane_rotation()
+    centre = jnp.asarray(detector.centre, jnp.float32)
+    normal = jnp.asarray(detector.normal, jnp.float32)
+    rotj = jnp.asarray(rot, jnp.float32)
+
+    opl_ref, _ = pt.chief_ray_refs(baked, elements, detector.centre,
+                                   detector.normal, (0.0,))
+
+    if extent is None:
+        probe = pt.source_bundle(baked, min(n_total, 1 << 17))
+        pout = trace(probe, elements, keep_history=False,
+                     ignore_defects=ignore_defects)
+        xy = np.asarray(stats.detector_points_2d(pout, centre, normal, rotj))
+        alive = np.asarray(pout.alive)
+        if not alive.any():
+            raise RuntimeError("no probe ray reaches the detector; cannot "
+                               "auto-fit the image extent")
+        lo = xy[alive].min(axis=0)
+        hi = xy[alive].max(axis=0)
+        mid, half = 0.5 * (lo + hi), 0.5 * (hi - lo) * 1.05 + 1e-12
+        lo, hi = mid - half, mid + half
+    else:
+        lo, hi = np.asarray(extent[0], float), np.asarray(extent[1], float)
+    lo_j = jnp.asarray(lo, jnp.float32)
+    hi_j = jnp.asarray(hi, jnp.float32)
+
+    edge = source_spec.gaussian_edge
+    # accumulate chunk partials on host in float64: pixel weights can exceed
+    # the f32 integer range (2^24) on giga-ray scans; an image is only ~1 MB
+    # per chunk to fetch
+    w_img = np.zeros(bins, np.float64)
+    wd_img = np.zeros(bins, np.float64)
+    off = 0
+    while off < n_total:
+        n_local = min(chunk, n_total - off)
+        bundle = pt.pallas_trace_source(
+            baked, elements, n_local,
+            wavelength=source_spec.wavelength,
+            phase=float(np.mod(off * _PHI_FRAC, 1.0)),
+            k_frac=off / n_total,
+            n_total=n_total,
+            ignore_defects=ignore_defects,
+        )
+        if edge is None:
+            weights = jnp.ones((n_local,), jnp.float32)
+        else:
+            # global Vogel radius law: r^2/R^2 = k_global / n_total
+            kg = jnp.arange(n_local, dtype=jnp.float32) / n_total + off / n_total
+            weights = jnp.exp(float(np.log(edge)) * kg)
+        wi, wdi = _chunk_binned_sums(bundle, weights, centre, normal, rotj,
+                                     lo_j, hi_j, jnp.float32(opl_ref), bins)
+        w_img += np.asarray(wi, np.float64)
+        wd_img += np.asarray(wdi, np.float64)
+        off += n_local
+
+    w_np = w_img
+    wd_np = wd_img
+    sum_w = w_np.sum()
+    global_mean = wd_np.sum() / max(sum_w, 1e-30)
+    mean_delay = np.where(w_np > 0, wd_np / np.where(w_np > 0, w_np, 1.0) - global_mean,
+                          np.nan)
+    return {
+        "image": w_np,
+        "mean_delay": mean_delay,
+        "weight_image": w_np,
+        "extent": (lo, hi),
+        "sum_w": sum_w,
+        "n_total": n_total,
+    }

@@ -1,0 +1,107 @@
+"""Giga-ray image scan (analysis/gigascan.py): chunked fused-source tracing
+with device-binned accumulation must reproduce the single-bundle image path."""
+
+import numpy as np
+import pytest
+
+from attosecondraytracing_tpu.analysis.gigascan import fused_source_images
+from attosecondraytracing_tpu.models import mirrors as mmirror
+from attosecondraytracing_tpu.models import supports as msupp
+from attosecondraytracing_tpu.models.detector import Detector
+from attosecondraytracing_tpu.models.placement import OEPlacement
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    props = {"Divergence": 25e-3, "SourceSize": 0, "Wavelength": 80e-6,
+             "DeltaFT": 0.5, "NumberRays": 16384}
+    chain = OEPlacement(props, [tor, tor], [500, 600], [inc, -inc], [0, 0])
+    elements = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+    det = Detector(chain.optical_elements[-1].position)
+    det.autoplace(chain.trace_final(engine="xla"), focal - 5.0)
+    return chain, elements, det
+
+
+def test_chunked_images_match_single_pass(setup):
+    chain, elements, det = setup
+    spec = chain.source_spec
+    assert spec is not None
+    kw = dict(bins=(64, 64))
+    res_1 = fused_source_images(spec, elements, det, n_total=16384,
+                                chunk=1 << 23, **kw)
+    res_4 = fused_source_images(spec, elements, det, n_total=16384,
+                                chunk=4096, extent=res_1["extent"], **kw)
+    assert res_1["sum_w"] == pytest.approx(res_4["sum_w"], rel=1e-5)
+    # chunked synthesis reproduces the global spiral to ~2e-5 in direction
+    # (documented digit-split rounding), so rays sitting exactly on a pixel
+    # boundary may hop one bin: allow a few single-ray weights per pixel and
+    # require the bulk to match closely
+    np.testing.assert_allclose(res_4["image"], res_1["image"], atol=2.5)
+    assert np.abs(res_4["image"] - res_1["image"]).sum() < 0.01 * res_1["sum_w"]
+    m1, m4 = res_1["mean_delay"], res_4["mean_delay"]
+    w1 = res_1["weight_image"]
+    both = np.isfinite(m1) & np.isfinite(m4) & (w1 > 5)
+    assert both.sum() > 50
+    diffs = np.abs(m4[both] - m1[both])
+    assert np.median(diffs) < 0.05 and diffs.max() < 0.5, (  # fs
+        np.median(diffs), diffs.max())
+
+
+def test_images_match_bundle_histogram_path(setup):
+    """The gigascan image equals Detector.get_Image on the equivalent
+    explicitly-built bundle (same kernel spiral, same weights)."""
+    import jax.numpy as jnp
+
+    from attosecondraytracing_tpu.ops import pallas_trace as pt
+    from attosecondraytracing_tpu.ops.trace import trace
+
+    chain, elements, det = setup
+    spec = chain.source_spec
+    n = 16384
+    res = fused_source_images(spec, elements, det, n_total=n, bins=(64, 64))
+
+    src = pt.source_bundle(spec.baked(), n, wavelength=spec.wavelength)
+    kf = jnp.arange(n, dtype=jnp.float32)
+    weights = jnp.exp(np.log(spec.gaussian_edge) * kf / n)
+    out = trace(src, elements, keep_history=False)
+    out = out._replace(intensity=weights)
+    img, (lo, hi) = det.get_Image(out, bins=(64, 64), extent=res["extent"])
+    # chained-frame kernel vs lab-frame XLA trace: impact points agree only to
+    # ~1e-4 mm (f32 reassociation) while pixels here are ~6 um, so a few
+    # percent of rays legitimately hop one bin. Compare physically: image
+    # moments and a 3x3-blurred L1 (absorbs single-bin hops).
+    img = np.asarray(img, np.float64)
+
+    def blur3(a):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        return sliding_window_view(np.pad(a, 1), (3, 3)).sum(axis=(2, 3))
+
+    b1, b2 = blur3(img), blur3(res["image"])
+    assert np.abs(b1 - b2).sum() < 0.05 * 9 * res["sum_w"]
+
+    ii, jj = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    for a, b in [(img, res["image"])]:
+        for ax in (ii, jj):
+            ca = (a * ax).sum() / a.sum()
+            cb = (b * ax).sum() / b.sum()
+            assert abs(ca - cb) < 0.05  # centroid within 5% of a pixel
+            va = (a * (ax - ca) ** 2).sum() / a.sum()
+            vb = (b * (ax - cb) ** 2).sum() / b.sum()
+            assert abs(va - vb) < 0.01 * max(va, 1.0)
+
+    # weighted totals agree with the surviving-weight sum
+    assert res["sum_w"] == pytest.approx(
+        float(np.sum(np.asarray(weights) * np.asarray(out.alive))), rel=1e-4)
+
+    # mean-delay map is mean-centred: global weighted mean ~ 0
+    m = res["mean_delay"]
+    w = res["weight_image"]
+    finite = np.isfinite(m)
+    gmean = (m[finite] * w[finite]).sum() / w[finite].sum()
+    assert abs(gmean) < 1e-3  # fs
