@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import supports as sup
 from .precision import T_EPS
@@ -31,6 +32,30 @@ from .precision import T_EPS
 #: a candidate root counts as a real hit if the polished point lies within
 #: this distance [mm] of the surface (also rejects Newton non-convergence).
 HIT_TOL = 1e-3
+
+
+def _hit_tol_for(surface, dtype, tol):
+    """Scale-aware hit tolerance: in float32 the residual is evaluated from
+    surface-frame coordinates of magnitude ~(R+r), so its rounding noise is
+    a few ulps of that scale — for very large toroids (R ~ 30 m) one f32 ulp
+    (~2e-3 mm) already exceeds the nominal HIT_TOL and real hits would be
+    rejected at random (lost transmission). Raise the tolerance to a few
+    ulps of the coordinate scale; the admitted off-surface error stays at
+    the same magnitude as the f32 coordinate noise itself, so no accuracy is
+    actually given up. (float64 keeps the nominal tolerance: its noise floor
+    is ~1e-9 mm.)"""
+    if dtype != jnp.float32:
+        return tol
+    if isinstance(surface, Toroid):
+        scale = surface.major_radius + surface.minor_radius
+    elif isinstance(surface, (Sphere, Cylinder)):
+        scale = surface.radius
+    elif isinstance(surface, Ellipsoid):
+        scale = jnp.maximum(surface.a, surface.b)
+    else:
+        return tol
+    # symbolic (works for traced jit inputs AND baked python-float constants)
+    return jnp.maximum(tol, 6.0 * float(np.finfo(np.float32).eps) * scale)
 
 _NEWTON_ITERS = 3
 _NEWTON_ITERS_TOROID = 6
@@ -494,7 +519,7 @@ def intersect_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
             ox, oy = support_offset_xy(surface)
             hit = (
                 (t > t_eps)
-                & (g_abs < tol)
+                & (g_abs < _hit_tol_for(surface, qx.dtype, tol))
                 & (z < -surface.major_radius)
                 & sup.include(support, x - ox, y - oy)
             )
@@ -510,11 +535,12 @@ def intersect_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
     cands = [jnp.where(jnp.isfinite(t), t, -1.0) for t in cands]
     polished = _polish_candidates(surface, q, u, cands, iters)
     ox, oy = support_offset_xy(surface)
+    tol_eff = _hit_tol_for(surface, qx.dtype, tol)
     t_best = jnp.full(qx.shape, jnp.inf, dtype=qx.dtype)
     for t, g_abs, (x, y, z) in polished:
         valid = (
             (t > t_eps)
-            & (g_abs < tol)
+            & (g_abs < tol_eff)
             & _branch_ok_z(surface, z)
             & sup.include(support, x - ox, y - oy)
         )
@@ -575,7 +601,7 @@ def intersect_with_normal_c(surface, support, q, u, t_eps=T_EPS, tol=HIT_TOL):
         ox, oy = support_offset_xy(surface)
         hit = (
             (t > t_eps)
-            & (g_abs < tol)
+            & (g_abs < _hit_tol_for(surface, qx.dtype, tol))
             & (z < -surface.major_radius)
             & sup.include(support, x - ox, y - oy)
         )

@@ -239,3 +239,74 @@ def test_float32_transmission_error_bound():
 
     assert 0.0 < et64 < 100.0  # the mask and the finite supports both clip
     assert abs(et32 - et64) < 0.1, (et32, et64)
+
+
+def test_toroid_fast_path_matches_exact_ferrari_solve(monkeypatch):
+    """The float32 fast toroid path (paraboloid seed + Newton,
+    _toroid_fast_root) must agree with the exact Ferrari solve
+    (ART_TPU_TOROID_EXACT mode) on hit masks and roots across geometries
+    including extreme grazing and a small minor radius (round-2 advisor
+    item: silent fast-path divergence would change transmission)."""
+    import jax.numpy as jnp
+
+    from attosecondraytracing_tpu.ops import supports as sup
+    from attosecondraytracing_tpu.ops import surfaces as srf
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (8795.0, 269.0, 150.0, 32.0),   # flagship grazing toroid (80 deg)
+        (2000.0, 50.0, 80.0, 20.0),     # small minor radius
+        (500.0, 400.0, 60.0, 40.0),     # nearly spherical
+        (30000.0, 120.0, 200.0, 30.0),  # extreme grazing (R/r large)
+    ]
+    for R, r, dimx, dimy in cases:
+        surface = srf.Toroid(jnp.float32(R), jnp.float32(r))
+        support = sup.RectangleSupport(jnp.float32(dimx), jnp.float32(dimy)) \
+            if hasattr(sup, "RectangleSupport") else None
+        if support is None:
+            from attosecondraytracing_tpu.models.supports import SupportRectangle
+
+            support = SupportRectangle(dimx, dimy)
+        n = 4000
+        # aim rays from a distant grazing origin at points scattered over
+        # (and beyond) the support patch on the z = -(R+r) apex region
+        tx = rng.uniform(-0.75 * dimx, 0.75 * dimx, n)
+        ty = rng.uniform(-0.75 * dimy, 0.75 * dimy, n)
+        rho = np.sqrt(np.maximum((R + r) ** 2 - 0.0, 0.0))
+        tz = -(R + r) + tx**2 / (2 * (R + r)) + ty**2 / (2 * r)
+        origin = np.array([0.0, 0.0, -(R + r) + 400.0]) + rng.normal(0, 5.0, (n, 3))
+        targets = np.stack([tx, ty, tz], axis=-1)
+        d = targets - origin
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        q = tuple(jnp.asarray(origin[:, i], jnp.float32) for i in range(3))
+        u = tuple(jnp.asarray(d[:, i], jnp.float32) for i in range(3))
+
+        monkeypatch.setattr(srf, "_TOROID_EXACT", False)
+        t_fast, hit_fast = srf.intersect_c(surface, support, q, u)
+        monkeypatch.setattr(srf, "_TOROID_EXACT", True)
+        t_ex, hit_ex = srf.intersect_c(surface, support, q, u)
+        # float64 oracle (exact Ferrari in f64): ground truth
+        q64 = tuple(jnp.asarray(np.asarray(v), jnp.float64) for v in q)
+        u64 = tuple(jnp.asarray(np.asarray(v), jnp.float64) for v in u)
+        t_64, hit_64 = srf.intersect_c(surface, support, q64, u64)
+
+        hf, he, h64 = (np.asarray(h) for h in (hit_fast, hit_ex, hit_64))
+        # Both f32 paths sit on the same noise floor: surface-frame
+        # coordinates are ~(R+r) mm, so one f32 ulp (~1e-3 mm at 9 m) is the
+        # size of HIT_TOL and near-boundary decisions flip in BOTH paths.
+        # The requirement is that the fast path adds no SYSTEMATIC loss over
+        # the exact f32 solve against the f64 oracle.
+        err_fast = (hf != h64).mean()
+        err_exact = (he != h64).mean()
+        assert err_fast <= 2.5 * err_exact + 5e-3, (R, r, err_fast, err_exact)
+        both = hf & he
+        # targets span +-0.75*dim, beyond the +-0.5*dim support: ~40% hit
+        assert both.sum() > 0.3 * n, (R, r, both.sum())
+        np.testing.assert_allclose(
+            np.asarray(t_fast)[both], np.asarray(t_ex)[both], rtol=2e-5,
+            atol=2e-3, err_msg=f"R={R} r={r}")
+        # and where both f32 paths agree a hit exists, roots match the oracle
+        ok = both & h64
+        np.testing.assert_allclose(
+            np.asarray(t_fast)[ok], np.asarray(t_64)[ok], rtol=1e-4,
+            atol=5e-3, err_msg=f"R={R} r={r} (vs f64 oracle)")
