@@ -540,6 +540,10 @@ def stats_rows(s: TraceState, det: BakedDetector, weights):
     w = jnp.where(s.alive, weights, 0.0)
     c, n = det.centre, det.normal
     dn = s.dx * n[0] + s.dy * n[1] + s.dz * n[2]
+    # NOTE: keep the exact divide here (not surfaces._recip): its ~2-3 ulp
+    # reciprocal error on the ~500 mm detector leg would add ~0.4 fs of
+    # per-ray delay noise to the duration metric — an accuracy cost, for one
+    # divide per ray in a kernel dominated by the trace itself
     inv_dn = 1.0 / jnp.where(jnp.abs(dn) > 1e-30, dn, jnp.inf)
     b0 = (c[0] - s.px) * n[0] + (c[1] - s.py) * n[1] + (c[2] - s.pz) * n[2]
     t0 = b0 * inv_dn

@@ -343,6 +343,68 @@ def _quartic_roots(b, c, d, e):
     return [s1a - shift, s1b - shift, s2a - shift, s2b - shift]
 
 
+def _recip(x):
+    """Sign-correct ~1/x as ``x * rsqrt(x*x)^2`` — ~3 multiplies + one rsqrt
+    instead of the f32 VPU divide (~7x a multiply, scripts/diag_vpu_ops.py;
+    rsqrt is nearly free and full f32 precision on this backend — the
+    residual/normal paths already rely on that). ``x == 0`` maps to 0; |x|
+    below ~1e-18 saturates smoothly (callers reject or mask those lanes).
+    Relative error ~2-3 ulp, absorbed by Newton polishing wherever it feeds a
+    root update."""
+    rr = jax.lax.rsqrt(jnp.maximum(x * x, 1e-36))
+    return x * rr * rr
+
+
+def _paraboloid_seed_pick(surface, q, u, t_eps):
+    """Osculating-paraboloid seed for the float32 toroid fast path with the
+    candidate *selection done in numerator/denominator form*, so only the one
+    selected root is ever divided out (and that by :func:`_recip`).
+
+    Semantics match ``_paraboloid_seeds`` + the old rank/select chain exactly:
+    the nearer forward (t > t_eps) crossing on the mirror side (z(t) < 0)
+    wins; with one valid candidate that one wins; with none, the first
+    (sanitized) root is returned as a Newton fallback and the post-polish
+    validity test rejects genuine misses. Sign tests used (d = denominator,
+    n = numerator, t = n/d):
+
+    * ``t > t_eps``      <=>  ``(n - t_eps d) d > 0``
+    * ``z(t) < 0``       <=>  ``d (qz d + n uz) < 0``
+    * ``t1 <= t2``       <=>  ``(n1 d2 - n2 d1) d1 d2 <= 0``
+
+    The citardauq pair (t1 = qq/a, t2 = c/qq) degrades gracefully at the
+    linear edge a -> 0 (only possible for rays along +-z, where |b| = 1):
+    there qq -> -b and t2 -> -c/b is exactly the linear root, while t1's
+    denominator vanishes and its validity tests go False."""
+    R, r = surface.major_radius, surface.minor_radius
+    x, y, z = q
+    ux, uy, uz = u
+    inv_2A = 0.5 / (R + r)
+    inv_2B = 0.5 / r
+    a = -(ux * ux * inv_2A + uy * uy * inv_2B)
+    b = uz - 2.0 * (x * ux * inv_2A + y * uy * inv_2B)
+    c = z + (R + r) - (x * x * inv_2A + y * y * inv_2B)
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.where(ok, jnp.sqrt(jnp.where(ok, disc, 1.0)), 0.0)
+    qq = jnp.where(b == 0.0, -0.5 * sq, -0.5 * (b + jnp.sign(b) * sq))
+    n1, d1 = qq, a
+    n2, d2 = c, qq
+
+    def _valid(n, d):
+        forward = (n - t_eps * d) * d > 0.0
+        mirror_side = d * (z * d + n * uz) < 0.0
+        return forward & mirror_side
+
+    v1 = _valid(n1, d1)
+    v2 = _valid(n2, d2)
+    t1_nearer = (n1 * d2 - n2 * d1) * (d1 * d2) <= 0.0
+    pick1 = (~v2) | (v1 & t1_nearer)
+    t = jnp.where(pick1, n1, n2) * _recip(jnp.where(pick1, d1, d2))
+    # complex-pair parity with the sanitized-candidate path: no real root
+    # falls back to -1 (same Newton start as the old nan -> -1 sanitize)
+    return jnp.where(ok, t, -1.0)
+
+
 def _paraboloid_seeds(surface, q, u):
     """Roots of the osculating paraboloid of the torus patch at its apex
     (0, 0, -(R+r)):  z = -(R+r) + x^2/(2(R+r)) + y^2/(2r).
@@ -463,26 +525,18 @@ def _toroid_fast_root(surface, q, u, t_eps):
     qx, qy, qz = q
     ux, uy, uz = u
     R, r = surface.major_radius, surface.minor_radius
-    s1, s2 = _paraboloid_seeds(surface, q, u)
-    far = jnp.asarray(jnp.inf, dtype=qx.dtype)
-
-    def rank(t):
-        t = jnp.where(jnp.isfinite(t), t, -1.0)
-        ok = (t > t_eps) & (qz + t * uz < 0.0)
-        return jnp.where(ok, t, far), t
-
-    r1, s1 = rank(s1)
-    r2, s2 = rank(s2)
-    # nearer valid crossing wins; with neither valid this falls back to the
-    # (sanitized) first root, and the post-polish validity test rejects it if
-    # it is a genuine miss
-    t = jnp.where(r1 <= r2, s1, s2)
+    # nearer valid crossing wins, selected in numerator/denominator form so
+    # only ONE root is divided out (see _paraboloid_seed_pick); with neither
+    # valid this falls back to the (sanitized) first root, and the post-polish
+    # validity test rejects it if it is a genuine miss
+    t = _paraboloid_seed_pick(surface, q, u, t_eps)
     # Newton updates (the paraboloid seed converges in one; see
     # _NEWTON_ITERS_TOROID_FAST) ...
     for _ in range(_NEWTON_ITERS_TOROID_FAST - 1):
         x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
         g, gp = _residual_c(surface, x, y, z, ux, uy, uz)
-        t = t - g / jnp.where(jnp.abs(gp) > 1e-12, gp, jnp.inf)
+        # grazing-turning-point guard: |gp| ~ 0 keeps t fixed (update -> 0)
+        t = t - g * jnp.where(jnp.abs(gp) > 1e-12, _recip(gp), 0.0)
     # ... then ONE shared evaluation at the polished root yields the validity
     # residual, the hit point, and the normal factors
     x, y, z = qx + t * ux, qy + t * uy, qz + t * uz

@@ -117,3 +117,63 @@ def test_pallas_zernike_defect_parity():
     out_no = trace(src, elements, ignore_defects=False, keep_history=False)
     a = np.asarray(out_ig.alive) & np.asarray(out_no.alive)
     assert np.abs(np.asarray(out_ig.d)[a] - np.asarray(out_no.d)[a]).max() > 1e-5
+
+
+def test_pallas_mixed_surface_chain_fuzz():
+    """Every surface type through the chained-frame Pallas kernel in ONE
+    chain, over several randomized source divergences and misalignments:
+    parity with the XLA trace on alive masks, impacts, directions, and OPL.
+    Covers the surface-specific intersect/normal branches (plane, sphere,
+    parabola, ellipsoid, cylinder, toroid + mask) that the flagship-chain
+    tests don't reach."""
+    import jax
+
+    from attosecondraytracing_tpu.models import defects as _  # noqa: F401
+    from attosecondraytracing_tpu.ops.trace import trace
+
+    rng = np.random.default_rng(3)
+    R, r = mmirror.ReturnOptimalToroidalRadii(500.0, 75.0)
+    optics = [
+        mmask.Mask(msupp.SupportRoundHole(30, 4, 0, 0)),
+        mmirror.MirrorPlane(msupp.SupportRectangle(60, 60)),
+        mmirror.MirrorSpherical(4000.0, msupp.SupportRound(30)),
+        mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32)),
+        mmirror.MirrorCylindrical(3000.0, msupp.SupportRectangle(60, 40)),
+        mmirror.MirrorParabolic(300.0, 15.0, msupp.SupportRound(25)),
+        mmirror.MirrorEllipsoidal(
+            msupp.SupportRound(20), OffAxisAngle=20.0, f_object=600.0, f_image=300.0
+        ),
+    ]
+    distances = [350.0, 300.0, 600.0, 450.0, 500.0, 350.0, 620.0]
+    incidences = [0.0, 40.0, 10.0, 75.0, 8.0, 0.0, 0.0]
+
+    for trial in range(3):
+        div = float(rng.uniform(0.5e-3, 3e-3))
+        props = {"Divergence": div, "SourceSize": 0, "Wavelength": 50e-6,
+                 "DeltaFT": 0.5, "NumberRays": 1200}
+        chain = OEPlacement(props, optics, distances, incidences,
+                            [0.0] * len(optics))
+        if trial:
+            k = int(rng.integers(1, len(optics)))
+            chain.rotate_OE(k, "pitch", float(rng.normal(0, 0.02)))
+            chain.shift_OE(k, "normal", float(rng.normal(0, 0.05)))
+        elements = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+        src = jax.tree.map(
+            lambda x: np.asarray(x).astype(np.float32)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x),
+            chain.source_rays,
+        )
+        out_x = trace(src, elements, keep_history=False)
+        out_p = pallas_trace(src, elements)
+        ax, ap = np.asarray(out_x.alive), np.asarray(out_p.alive)
+        # float32 reassociation can flip support-edge hits; require ~identical
+        # masks and enough survivors that the comparison is meaningful
+        assert (ax == ap).mean() > 0.995, (trial, (ax != ap).sum())
+        a = ax & ap
+        assert a.sum() > 300, (trial, a.sum())
+        dp = np.abs(np.asarray(out_p.p)[a] - np.asarray(out_x.p)[a])
+        assert np.median(dp) < 2e-3 and dp.max() < 0.1, (trial, np.median(dp), dp.max())
+        np.testing.assert_allclose(
+            np.asarray(out_p.d)[a], np.asarray(out_x.d)[a], atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(out_p.opl)[a], np.asarray(out_x.opl)[a], atol=0.2)

@@ -310,3 +310,56 @@ def test_toroid_fast_path_matches_exact_ferrari_solve(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(t_fast)[ok], np.asarray(t_64)[ok], rtol=1e-4,
             atol=5e-3, err_msg=f"R={R} r={r} (vs f64 oracle)")
+
+
+def test_paraboloid_seed_pick_matches_two_division_form(rng):
+    """The single-division numerator/denominator seed selection
+    (surfaces._paraboloid_seed_pick) must reproduce the reference
+    two-division form (_paraboloid_seeds roots + the rank/select chain it
+    replaced) on every lane: same selected candidate, seed value equal to a
+    few ulp (the _recip reciprocal), and the complex-pair fallback -1."""
+    import jax.numpy as jnp
+
+    from attosecondraytracing_tpu.ops import surfaces as srf
+    from attosecondraytracing_tpu.ops.precision import T_EPS
+
+    for R, r in [(8795.0, 269.0), (2000.0, 50.0), (500.0, 400.0)]:
+        surface = srf.Toroid(jnp.float32(R), jnp.float32(r))
+        n = 5000
+        # origins near the apex region, directions covering hits, misses,
+        # backward rays, and near-axial (a ~ 0) lanes
+        origin = np.array([0.0, 0.0, -(R + r) + 300.0]) + rng.normal(0, 40.0, (n, 3))
+        d = rng.normal(0, 1.0, (n, 3))
+        d[: n // 8, :2] *= 1e-6  # near-axial: quadratic coefficient a -> 0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        q = tuple(jnp.asarray(origin[:, i], jnp.float32) for i in range(3))
+        u = tuple(jnp.asarray(d[:, i], jnp.float32) for i in range(3))
+
+        t_new = np.asarray(srf._paraboloid_seed_pick(surface, q, u, T_EPS))
+
+        # reference semantics: sanitize, rank by validity, nearer valid wins
+        s1, s2 = srf._paraboloid_seeds(surface, q, u)
+        qz, uz = origin[:, 2].astype(np.float32), d[:, 2].astype(np.float32)
+
+        def rank(t):
+            t = np.where(np.isfinite(np.asarray(t)), np.asarray(t), -1.0)
+            ok = (t > T_EPS) & (qz + t * uz < 0.0)
+            return np.where(ok, t, np.inf), t
+
+        r1, s1v = rank(s1)
+        r2, s2v = rank(s2)
+        t_ref = np.where(r1 <= r2, s1v, s2v)
+
+        # a lane may legitimately differ only where (a) the two candidates tie
+        # to float precision (either pick is the same root), or (b) both forms
+        # return far-beyond-scene garbage roots (near-axial a ~ 0 lanes whose
+        # ~1e18 mm 'roots' the downstream validity test rejects either way)
+        close = np.isclose(t_new, t_ref, rtol=5e-6, atol=1e-5)
+        tied = np.isclose(s1v, s2v, rtol=1e-5, atol=1e-5)
+        garbage = (np.abs(t_new) > 1e9) & (np.abs(t_ref) > 1e9)
+        close = close | garbage
+        assert (close | tied).all(), (
+            R, r, int((~(close | tied)).sum()),
+            t_new[~(close | tied)][:5], t_ref[~(close | tied)][:5],
+        )
+        assert np.isfinite(t_new).all()
