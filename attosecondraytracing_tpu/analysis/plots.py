@@ -344,10 +344,27 @@ def RayRenderGraph(
 def _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colors, draw_mesh=False):
     """PyVista scene (reference RayRenderGraph look,
     ART/ModuleAnalysisAndPlots.py:616-673). Only reached when pyvista is
-    installed."""
+    installed.
+
+    With a display and pyvistaqt available, the scene opens in a *live,
+    non-blocking* ``BackgroundPlotter`` window (the reference's interactive
+    3D scene, ART/ModuleAnalysisAndPlots.py:648-668) so script execution
+    continues while the user orbits the model; otherwise a plain (blocking
+    or off-screen) ``pv.Plotter`` is used."""
     import pyvista as pv
 
-    plotter = pv.Plotter(window_size=(1500, 500), off_screen=not _has_display())
+    plotter = None
+    background = False
+    if _has_display():
+        try:
+            from pyvistaqt import BackgroundPlotter
+
+            plotter = BackgroundPlotter(window_size=(1500, 500))
+            background = True
+        except Exception:
+            plotter = None  # no Qt stack: fall through to the blocking plotter
+    if plotter is None:
+        plotter = pv.Plotter(window_size=(1500, 500), off_screen=not _has_display())
     plotter.set_background("white")
     colors = (
         generate_distinct_colors(len(segment_sets)) if cycle_ray_colors else [(0.7, 0, 0)] * len(segment_sets)
@@ -371,7 +388,8 @@ def _render_pyvista(chain, segment_sets, OEpoints, scale_spheres, cycle_ray_colo
         plotter.add_mesh(
             pv.PolyData(pts), point_size=scale_spheres, render_points_as_spheres=True
         )
-    plotter.show(auto_close=False)
+    if not background:
+        plotter.show(auto_close=False)  # BackgroundPlotter shows itself
     return plotter
 
 
