@@ -209,6 +209,36 @@ def DelayMapImage(bundle: RayBundle, detector, DeltaFT=None,
     return SpotDiagramImage(bundle, detector, DrawAiryAndFourier, which, bins)
 
 
+def GigaRayImages(res: dict, title: str = ""):
+    """Intensity image + mean-delay map from a
+    :func:`attosecondraytracing_tpu.analysis.gigascan.fused_source_images`
+    result: the detector images at ray counts far beyond any traced bundle
+    (the source is synthesized chunk-wise inside the fused kernel and binned
+    on device)."""
+    lo, hi = res["extent"]
+    mid = 0.5 * (np.asarray(lo) + np.asarray(hi))
+    lo_um, hi_um = (np.asarray(lo) - mid) * 1e3, (np.asarray(hi) - mid) * 1e3
+    extent = (lo_um[0], hi_um[0], lo_um[1], hi_um[1])
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.6))
+    im1 = ax1.imshow(res["image"].T, origin="lower", extent=extent,
+                     aspect="equal", cmap="inferno")
+    ax1.set_title(f"Intensity ({res['n_total']:.2e} rays)")
+    fig.colorbar(im1, ax=ax1).set_label("weight / pixel")
+    im2 = ax2.imshow(res["mean_delay"].T, origin="lower", extent=extent,
+                     aspect="equal", cmap="coolwarm")
+    ax2.set_title("Mean delay (fs)")
+    fig.colorbar(im2, ax=ax2).set_label("fs")
+    for ax in (ax1, ax2):
+        ax.set_xlabel("X (µm)")
+        ax.set_ylabel("Y (µm)")
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    _maybe_show()
+    return fig
+
+
 def DelayGraph(bundle: RayBundle, detector, DeltaFT, DrawAiryAndFourier=False, ColorCoded=None):
     """3D spot diagram with ray delay on the z-axis
     (ART/ModuleAnalysisAndPlots.py:284-440)."""

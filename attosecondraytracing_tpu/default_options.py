@@ -29,6 +29,12 @@ def default_analysis_options() -> dict:
         # ray to the host is impractical; True/False force either mode
         "image_plots": "auto",
         "image_bins": 256,
+        # render the spot/delay images from THIS many in-kernel-synthesized
+        # rays (analysis/gigascan) instead of the traced bundle — detector
+        # images at ray counts far beyond what fits in memory (e.g. 1e9).
+        # Requires a chain built by OEPlacement from a point/plane-wave
+        # source; None = use the traced bundle
+        "image_rays": None,
     }
 
 

@@ -225,6 +225,33 @@ def make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, Analy
         A["image_plots"] == "auto" and bundle.n_rays >= PALLAS_MIN_RAYS
     )
     bins = int(A["image_bins"])
+
+    # image_rays: render the spot/delay images from that many in-kernel
+    # synthesized rays (chunked fused-source kernel + device binning) —
+    # detector images beyond any traceable bundle size. Supersedes the
+    # per-bundle spot/delay plots when requested and available.
+    image_rays = A.get("image_rays")
+    want_spot_or_delay = A["plot_SpotDiagram"] or any(
+        A[f"plot_{w}SpotDiagram"] or A[f"plot_{w}Graph"]
+        for w in ("Delay", "Intensity", "Incidence")
+    )
+    if image_rays and want_spot_or_delay:
+        if chain.source_spec is None:
+            print(
+                "[attosecondraytracing_tpu] image_rays ignored: this chain's "
+                "source is not in-kernel synthesizable (no source_spec).",
+                flush=True,
+            )
+        else:
+            from .analysis.gigascan import fused_source_images
+
+            res = fused_source_images(
+                chain.source_spec, chain.device_elements(), detector,
+                n_total=int(image_rays), bins=(bins, bins),
+            )
+            plots.GigaRayImages(res, title=chain.description)
+            return
+
     if A["plot_SpotDiagram"]:
         if use_images:
             plots.SpotDiagramImage(bundle, detector, A["DrawAiryAndFourier"], bins=bins)

@@ -150,3 +150,44 @@ def test_image_plot_functions_render():
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_driver_image_rays_gigascan(monkeypatch, capsys):
+    """AnalysisOptions['image_rays'] renders the spot/delay plots from
+    in-kernel-synthesized rays via analysis.gigascan (chunked fused-source
+    trace + device binning), superseding the per-bundle plots — and is
+    loudly ignored for chains without a synthesizable source."""
+    from attosecondraytracing_tpu.analysis import plots as aplots
+
+    chain = _flagship(2048)
+    calls = {}
+
+    def spy(res, title=""):
+        calls["res"] = res
+        return None
+
+    monkeypatch.setattr(aplots, "GigaRayImages", spy)
+    sp, do, ao = complete_defaults(
+        {"NumberRays": 2048},
+        {"AutoDetectorDistance": False, "DistanceDetector": 500.0},
+        {"verbose": False, "save_results": False,
+         "plot_SpotDiagram": True, "image_rays": 6000, "image_bins": 32},
+    )
+    run_ART(chain, sp, do, ao)
+    res = calls["res"]
+    assert res["n_total"] == 6000
+    assert res["image"].shape == (32, 32)
+    assert res["sum_w"] > 0
+
+    # chains without a source_spec fall back with a notice
+    chain2 = _flagship(2048)
+    chain2._source_spec = None
+    calls.clear()
+    run_ART(chain2, sp, do, ao)
+    captured = capsys.readouterr()
+    assert "image_rays ignored" in captured.out
+    assert "res" not in calls
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
