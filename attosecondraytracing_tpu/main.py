@@ -438,11 +438,24 @@ def run_config_file(path: str):
 
 
 def cli(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
+    argv = list(sys.argv[1:] if argv is None else argv)
+    profile_dir = None
+    if "--profile" in argv:
+        # capture a jax.profiler trace of the whole run (view with
+        # TensorBoard/xprof); replaces the reference's commented-out _tic/_toc
+        # timers (ARTmain.py:251,288) with real device-level profiling
+        i = argv.index("--profile")
+        try:
+            profile_dir = argv[i + 1]
+        except IndexError:
+            print("--profile requires a trace output directory")
+            sys.exit(1)
+        del argv[i : i + 2]
     if len(argv) < 1:
-        print("Usage: python -m attosecondraytracing_tpu.main CONFIG_FILE")
+        print("Usage: python -m attosecondraytracing_tpu.main [--profile DIR] CONFIG_FILE")
         sys.exit(1)
-    run_config_file(argv[0])
+    with log.jax_profile(profile_dir):
+        run_config_file(argv[0])
 
 
 if __name__ == "__main__":
