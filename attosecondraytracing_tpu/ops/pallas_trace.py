@@ -24,7 +24,11 @@ fall back to the XLA path.
 Frames: the kernel runs the chain in *chained-frame* mode
 (trace.compose_chain): one composed 3x3 affine per element instead of a
 lab round-trip of two rotations, with patch-relative handoff for float32
-conditioning. The composed maps are baked constants.
+conditioning. The composed maps are baked constants. Non-terminal masks are
+additionally *folded* (trace.fold_premasks): a mask never bends the ray, so
+its transmit/block test runs as a pure alive-predicate on the incoming state
+and its frame map composes into the next element's affine — one fewer full
+state handoff (+OPL update + select chain) per mask.
 
 HBM traffic, in escalating order of fusion:
 * streamed (mid-chain bundles): 37 B/ray read + 37 B/ray written;
@@ -55,6 +59,7 @@ from .trace import (
     TraceState,
     chained_step,
     compose_chain,
+    fold_premasks,
     run_chain_chained,
 )
 
@@ -121,23 +126,36 @@ def _static_elements(elements):
     return tuple(baked)
 
 
+def _bake_premasks(premasks):
+    return tuple(
+        tuple(
+            (type(sup_)(*[bake(v) for v in sup_]), bake(M), bake(b))
+            for (sup_, M, b) in pre
+        )
+        for pre in premasks
+    )
+
+
 def _static_chain(elements):
-    """Baked (elements, per-element composed affine maps, final to-lab map)
-    for the chained-frame kernel (trace.compose_chain)."""
-    baked = _static_elements(elements)
+    """Baked (elements, per-element composed affine maps, final to-lab map,
+    folded premask tests) for the chained-frame kernel (trace.compose_chain +
+    trace.fold_premasks: non-terminal masks run as pure alive-predicates)."""
     maps, final = compose_chain(elements)
+    elements, maps, premasks = fold_premasks(elements, maps)
+    baked = _static_elements(elements)
     baked_maps = tuple((bake(M), bake(b)) for M, b in maps)
     baked_final = tuple(bake(v) for v in final)
-    return baked, baked_maps, baked_final
+    return baked, baked_maps, baked_final, _bake_premasks(premasks)
 
 
-def _run_chain(s: TraceState, elements, maps, final, ignore_defects=True):
+def _run_chain(s: TraceState, elements, maps, final, ignore_defects=True,
+               premasks=None):
     # chained-frame mode: one rotation per element + one final to-lab map,
     # incidence only at the last element (matches trace(keep_history=False);
     # dead rays keep exact lab coordinates — they are re-expressed by every
     # subsequent frame map)
     return run_chain_chained(s, elements, maps, final,
-                             ignore_defects=ignore_defects)
+                             ignore_defects=ignore_defects, premasks=premasks)
 
 
 def _write_outputs(s: TraceState, outs):
@@ -154,7 +172,7 @@ def _write_outputs(s: TraceState, outs):
     oinc[:] = s.incidence
 
 
-def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements, maps, final, ignore_defects):
+def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements, maps, final, premasks, ignore_defects):
     s = TraceState(
         px=px[:], py=py[:], pz=pz[:],
         dx=dx[:], dy=dy[:], dz=dz[:],
@@ -162,10 +180,10 @@ def _kernel(px, py, pz, dx, dy, dz, opl, opl_c, alive, inc, *outs, elements, map
         alive=alive[:] != 0,
         incidence=inc[:],
     )
-    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects), outs)
+    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects, premasks), outs)
 
 
-def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, maps, final, n_rays, block_rows, ignore_defects):
+def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, maps, final, premasks, n_rays, block_rows, ignore_defects):
     """Fresh-source variant: opl/opl_c/incidence start at 0 and the alive
     mask is just 'is this lane a real ray or padding', a static comparison of
     the global ray index against n_rays — none of the four needs an HBM
@@ -182,25 +200,26 @@ def _kernel_fresh(px, py, pz, dx, dy, dz, *outs, elements, maps, final, n_rays, 
         alive=idx < n_rays,
         incidence=zeros,
     )
-    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects), outs)
+    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects, premasks), outs)
 
 
-@partial(jax.jit, static_argnames=("elements", "maps", "final", "block_rows",
-                                   "interpret", "fresh", "n_rays", "ignore_defects"))
-def _pallas_trace_padded(comps, elements, maps, final, block_rows, interpret,
-                         fresh=False, n_rays=0, ignore_defects=True):
+@partial(jax.jit, static_argnames=("elements", "maps", "final", "premasks",
+                                   "block_rows", "interpret", "fresh", "n_rays",
+                                   "ignore_defects"))
+def _pallas_trace_padded(comps, elements, maps, final, premasks, block_rows,
+                         interpret, fresh=False, n_rays=0, ignore_defects=True):
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
     fspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dtype = comps[0].dtype
     if fresh:
         kernel = partial(_kernel_fresh, elements=elements, maps=maps, final=final,
-                         n_rays=n_rays, block_rows=block_rows,
+                         premasks=premasks, n_rays=n_rays, block_rows=block_rows,
                          ignore_defects=ignore_defects)
         in_specs = [fspec] * 6  # px..dz only
     else:
         kernel = partial(_kernel, elements=elements, maps=maps, final=final,
-                         ignore_defects=ignore_defects)
+                         premasks=premasks, ignore_defects=ignore_defects)
         in_specs = [fspec] * 8 + [fspec, fspec]  # px..dz, opl, opl_c, alive(int8), incidence
     n_f32 = 8  # px..dz, opl, opl_c
     out_specs = tuple([fspec] * n_f32 + [fspec, fspec])
@@ -297,7 +316,10 @@ class BakedSource(NamedTuple):
 def _source_maps(source: BakedSource, elements):
     """Chain maps whose first map takes *canonical source frame* coordinates
     straight into element 0's surface frame (folding the source rotation and
-    origin into the baked affine — the kernel never touches lab frames)."""
+    origin into the baked affine — the kernel never touches lab frames).
+    Non-terminal masks are additionally folded into the following element's
+    affine (trace.fold_premasks). Returns
+    ``(baked_folded_elements, baked_maps, baked_final, baked_premasks)``."""
     maps, final = compose_chain(elements)
     M0, _ = maps[0]
     R0 = np.asarray(M0, dtype=np.float64)
@@ -311,13 +333,15 @@ def _source_maps(source: BakedSource, elements):
     M = R0 @ Rs
     b = R0 @ (np.asarray(source.origin, dtype=np.float64) - pos0) + cen0
     maps = [(M, b)] + list(maps[1:])
+    elements, maps, premasks = fold_premasks(elements, maps)
     baked_maps = tuple((bake(Mm), bake(bb)) for Mm, bb in maps)
     baked_final = tuple(bake(v) for v in final)
-    return baked_maps, baked_final
+    return (_static_elements(elements), baked_maps, baked_final,
+            _bake_premasks(premasks))
 
 
-def _kernel_source(scalars, *outs, source, elements, maps, final, n_rays,
-                   n_total, block_rows, ignore_defects):
+def _kernel_source(scalars, *outs, source, elements, maps, final, premasks,
+                   n_rays, n_total, block_rows, ignore_defects):
     """Near-zero-input kernel: the source bundle is synthesized from the ray
     index (iota), so the trace reads nothing per-ray from HBM — only the
     traced bundle is written (~40% of the fused kernel's HBM traffic was the
@@ -344,15 +368,15 @@ def _kernel_source(scalars, *outs, source, elements, maps, final, n_rays,
         alive=idx < n_rays,
         incidence=zeros,
     )
-    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects), outs)
+    _write_outputs(_run_chain(s, elements, maps, final, ignore_defects, premasks), outs)
 
 
 @partial(jax.jit, static_argnames=("source", "elements", "maps", "final",
-                                   "block_rows", "interpret", "n_rays",
-                                   "n_total", "rows", "ignore_defects"))
+                                   "premasks", "block_rows", "interpret",
+                                   "n_rays", "n_total", "rows", "ignore_defects"))
 def _pallas_trace_source_padded(phase, k_frac, source, elements, maps, final,
-                                block_rows, interpret, n_rays, n_total, rows,
-                                ignore_defects=True):
+                                premasks, block_rows, interpret, n_rays,
+                                n_total, rows, ignore_defects=True):
     if n_rays >= 1 << 24:
         raise ValueError("per-call ray count must stay < 2^24 (float index "
                          "exactness); chunk or shard larger ranges")
@@ -360,8 +384,9 @@ def _pallas_trace_source_padded(phase, k_frac, source, elements, maps, final,
     fspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = partial(_kernel_source, source=source, elements=elements,
-                     maps=maps, final=final, n_rays=n_rays, n_total=n_total,
-                     block_rows=block_rows, ignore_defects=ignore_defects)
+                     maps=maps, final=final, premasks=premasks, n_rays=n_rays,
+                     n_total=n_total, block_rows=block_rows,
+                     ignore_defects=ignore_defects)
     out_shape = tuple(
         [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 8
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
@@ -443,14 +468,13 @@ def pallas_trace_source(
     :func:`pallas_trace`. Intensities are uniform 1.0 — apply Gaussian
     weights downstream if needed (they multiply, the trace never reads
     them)."""
-    baked = _static_elements(elements)
-    maps, final = _source_maps(spec, elements)
+    baked, maps, final, premasks = _source_maps(spec, elements)
     tile = block_rows * LANES
     n_pad = ((n_rays + tile - 1) // tile) * tile
     interpret = jax.default_backend() == "cpu"
     outs = _pallas_trace_source_padded(
-        phase, k_frac, spec, baked, maps, final, block_rows, interpret,
-        n_rays, n_total or n_rays, n_pad // LANES, ignore_defects
+        phase, k_frac, spec, baked, maps, final, premasks, block_rows,
+        interpret, n_rays, n_total or n_rays, n_pad // LANES, ignore_defects
     )
     (opx, opy, opz, odx, ody, odz, oopl, oopl_c, oalive, oinc) = outs
 
@@ -620,9 +644,9 @@ def chief_ray_refs(spec: BakedSource, elements, det_centre, det_normal,
     return float(opl_ref), delay_offsets
 
 
-def _kernel_source_stats(scalars, *outs, source, elements, maps, final, det,
-                         n_rays, n_total, block_rows, gaussian_edge,
-                         ignore_defects):
+def _kernel_source_stats(scalars, *outs, source, elements, maps, final,
+                         premasks, det, n_rays, n_total, block_rows,
+                         gaussian_edge, ignore_defects):
     shape = (block_rows, LANES)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -651,20 +675,21 @@ def _kernel_source_stats(scalars, *outs, source, elements, maps, final, det,
         alive=idx < n_rays,
         incidence=zeros,
     )
-    for el, (M, b) in zip(elements, maps):
+    for el, (M, b), pre in zip(elements, maps, premasks):
         # incidence is never observed by the statistics: skip it everywhere
         s = chained_step(el, M, b, s, want_incidence=False,
-                         ignore_defects=ignore_defects)
+                         ignore_defects=ignore_defects, premasks=pre)
     _stats_epilogue(s, det, weights, outs, block_rows)
 
 
-@partial(jax.jit, static_argnames=("source", "elements", "maps", "final", "det",
-                                   "block_rows", "interpret", "n_rays",
-                                   "n_total", "rows", "gaussian_edge",
+@partial(jax.jit, static_argnames=("source", "elements", "maps", "final",
+                                   "premasks", "det", "block_rows", "interpret",
+                                   "n_rays", "n_total", "rows", "gaussian_edge",
                                    "ignore_defects"))
 def _pallas_source_stats_padded(phase, k_frac, source, elements, maps, final,
-                                det, block_rows, interpret, n_rays, n_total,
-                                rows, gaussian_edge, ignore_defects=True):
+                                premasks, det, block_rows, interpret, n_rays,
+                                n_total, rows, gaussian_edge,
+                                ignore_defects=True):
     if n_rays >= 1 << 24:
         raise ValueError("per-call ray count must stay < 2^24 (float index "
                          "exactness); chunk or shard larger ranges")
@@ -672,8 +697,8 @@ def _pallas_source_stats_padded(phase, k_frac, source, elements, maps, final,
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     rowspec = pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = partial(_kernel_source_stats, source=source, elements=elements,
-                     maps=maps, final=final, det=det, n_rays=n_rays,
-                     n_total=n_total, block_rows=block_rows,
+                     maps=maps, final=final, premasks=premasks, det=det,
+                     n_rays=n_rays, n_total=n_total, block_rows=block_rows,
                      gaussian_edge=gaussian_edge, ignore_defects=ignore_defects)
     n_programs = rows // block_rows
     out_shape = tuple(
@@ -745,8 +770,7 @@ def pallas_source_detector_stats(
     det = bake_detector(elements, det_centre, det_normal, det_rot,
                         distances=distances, opl_ref=opl_ref,
                         delay_offsets=delay_offsets)
-    baked = _static_elements(elements)
-    maps, final = _source_maps(spec, elements)
+    baked, maps, final, premasks = _source_maps(spec, elements)
     interpret = jax.default_backend() == "cpu"
     J = len(distances)
     n_total = n_total or n_rays
@@ -776,8 +800,9 @@ def pallas_source_detector_stats(
     @partial(jax.jit, static_argnames=("n_local", "rows"))
     def _chunk(phase_i, k_frac_i, n_local, rows):
         outs = _pallas_source_stats_padded(
-            phase_i, k_frac_i, spec, baked, maps, final, det, block_rows,
-            interpret, n_local, n_total, rows, gaussian_edge, ignore_defects,
+            phase_i, k_frac_i, spec, baked, maps, final, premasks, det,
+            block_rows, interpret, n_local, n_total, rows, gaussian_edge,
+            ignore_defects,
         )
         # reduce the per-program partials ON DEVICE: only (n_stats, 128)
         # floats leave the chip per chunk (a billion-ray scan would
@@ -902,7 +927,7 @@ def pallas_trace(
     ``fresh=None`` auto-detects whether the source is untouched (all alive,
     zero opl/incidence) and, if so, skips streaming those inputs from HBM.
     """
-    baked, maps, final = _static_chain(elements)
+    baked, maps, final, premasks = _static_chain(elements)
     n = source.n_rays
     tile = block_rows * LANES
     n_pad = ((n + tile - 1) // tile) * tile
@@ -927,8 +952,8 @@ def pallas_trace(
     # padding rays must have a finite direction; they are dead via the alive
     # mask (streamed, or the fresh path's static index comparison)
     interpret = jax.default_backend() == "cpu"
-    outs = _pallas_trace_padded(tuple(comps), baked, maps, final, block_rows,
-                                interpret, fresh=fresh, n_rays=n,
+    outs = _pallas_trace_padded(tuple(comps), baked, maps, final, premasks,
+                                block_rows, interpret, fresh=fresh, n_rays=n,
                                 ignore_defects=ignore_defects)
     (opx, opy, opz, odx, ody, odz, oopl, oopl_c, oalive, oinc) = outs
 

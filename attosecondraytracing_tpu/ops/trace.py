@@ -337,6 +337,68 @@ def compose_chain(elements):
     return maps, final
 
 
+def fold_premasks(elements, maps):
+    """Fold every non-terminal mask into the FOLLOWING element's composed
+    affine, turning it into a pure alive-predicate ("premask") evaluated on
+    the incoming state.
+
+    A mask transmits or kills a ray but never bends it, so the ray line
+    entering the next element is unchanged: the mask's frame handoff (full
+    affine + position/OPL update + select chain, ~a fifth of the flagship
+    kernel's per-ray work) is unnecessary. The mask-plane test still runs
+    with the exact same arithmetic as the full step (same affine into the
+    mask frame, same t and support test), only the state update is skipped
+    and the mask's frame map is composed into the next element's.
+
+    Observable differences vs the unfolded chain (both below the float32
+    noise floor or dead-ray-only, see tests/test_pallas.py):
+
+    * a transmitted ray's OPL accumulates the source->next-mirror leg in one
+      piece instead of two collinear pieces (~1 ulp difference);
+    * rays that pass a folded mask but die at the NEXT element keep their
+      pre-mask position instead of the mask-plane position (dead rays are
+      excluded from every reduction).
+
+    The LAST element is never folded (its position/incidence are the trace's
+    outputs). Returns ``(elements', maps', premasks)`` of equal length, where
+    ``premasks[k]`` is a tuple of ``(support, M, b)`` tests to apply to
+    element k's incoming state. Host-side float64 math like compose_chain.
+    """
+    new_els, new_maps, new_pre = [], [], []
+    pending = []           # (support, M, b) tests in the current incoming frame
+    carry = None           # affine incoming-frame -> last folded mask's frame
+    for i, (el, (M, b)) in enumerate(zip(elements, maps)):
+        M = np.asarray(M, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        if carry is not None:
+            Mc, bc = carry
+            M, b = M @ Mc, M @ bc + b
+        if isinstance(el, MaskElement) and i < len(elements) - 1:
+            pending.append((el.support, M, b))
+            carry = (M, b)
+        else:
+            new_els.append(el)
+            new_maps.append((M, b))
+            new_pre.append(tuple(pending))
+            pending, carry = [], None
+    return new_els, new_maps, new_pre
+
+
+def premask_alive(premasks, s: TraceState):
+    """Alive mask after applying folded mask tests to the incoming state.
+    Arithmetic is identical to the full mask step (same affine, same plane
+    t, same support test), so transmit/block decisions are bit-equal."""
+    alive = s.alive
+    for support, Mm, bm in premasks:
+        (mx, my, mz), (mux, muy, muz) = _affine_c(
+            Mm, bm, s.px, s.py, s.pz, s.dx, s.dy, s.dz
+        )
+        t = -mz / jnp.where(jnp.abs(muz) > 1e-30, muz, jnp.inf)
+        on_support = sup.include(support, mx + t * mux, my + t * muy)
+        alive = alive & (t > T_EPS) & ~on_support
+    return alive
+
+
 def _affine_c(M, b, px, py, pz, dx, dy, dz):
     qx = M[0][0] * px + M[0][1] * py + M[0][2] * pz + b[0]
     qy = M[1][0] * px + M[1][1] * py + M[1][2] * pz + b[1]
@@ -348,7 +410,7 @@ def _affine_c(M, b, px, py, pz, dx, dy, dz):
 
 
 def chained_step(element, M, b, s: TraceState, want_incidence: bool,
-                 ignore_defects: bool = True) -> TraceState:
+                 ignore_defects: bool = True, premasks=()) -> TraceState:
     """One element step in chained-frame mode: input state patch-relative to
     the previous element (lab absolute for the first), output patch-relative
     to THIS element. Dead rays keep their coordinates and are re-expressed by
@@ -359,7 +421,12 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool,
     (and the reference, ART/ModuleMirror.py:925-939): the intersection is
     always that of the *deformed* surface (hit shifted along the ray by the
     local height error), while ``ignore_defects`` gates only the slope
-    composition into the reflecting normal."""
+    composition into the reflecting normal.
+
+    ``premasks``: folded mask tests (:func:`fold_premasks`) applied to the
+    incoming state before this element's own step."""
+    if premasks:
+        s = s._replace(alive=premask_alive(premasks, s))
     (qx, qy, qz), (ux, uy, uz) = _affine_c(
         M, b, s.px, s.py, s.pz, s.dx, s.dy, s.dz
     )
@@ -426,14 +493,18 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool,
 
 
 def run_chain_chained(s: TraceState, elements, maps, final,
-                      ignore_defects: bool = True) -> TraceState:
+                      ignore_defects: bool = True, premasks=None) -> TraceState:
     """Run a whole chain in chained-frame mode and restore lab coordinates.
     Equivalent to folding state_step over the chain with
-    ``keep_history=False`` (incidence computed only at the last element)."""
+    ``keep_history=False`` (incidence computed only at the last element).
+    ``premasks`` (from :func:`fold_premasks`, aligned with ``elements``)
+    carries folded mask tests; None = no folding."""
     last = len(elements) - 1
+    if premasks is None:
+        premasks = ((),) * len(elements)
     for i, (el, (M, b)) in enumerate(zip(elements, maps)):
         s = chained_step(el, M, b, s, want_incidence=(i == last),
-                         ignore_defects=ignore_defects)
+                         ignore_defects=ignore_defects, premasks=premasks[i])
     R_K, pos_K = final
     # p_lab = R_K^T x + pos_K ; d_lab = R_K^T d  (x already patch-relative)
     x = s.px

@@ -212,15 +212,14 @@ def source_stats_sharded(
     det = pt.bake_detector(elements, det_centre, det_normal, det_rot,
                            distances=distances, opl_ref=opl_ref,
                            delay_offsets=delay_offsets)
-    baked = pt._static_elements(elements)
-    maps, final = pt._source_maps(spec, elements)
+    baked, maps, final, premasks = pt._source_maps(spec, elements)
     tile = pt.BLOCK_ROWS * pt.LANES
     n_pad = ((n_local + tile - 1) // tile) * tile
     interpret = jax.default_backend() == "cpu"
 
     def local(phase, k_frac):
         outs = pt._pallas_source_stats_padded(
-            phase[0], k_frac[0], spec, baked, maps, final, det,
+            phase[0], k_frac[0], spec, baked, maps, final, premasks, det,
             pt.BLOCK_ROWS, interpret, n_local, n_total, n_pad // pt.LANES,
             gaussian_edge,
         )

@@ -189,7 +189,7 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
         return compiled_xla[reps](src)
 
     # --- Pallas path: fused whole-chain kernel, fresh-source variant -------
-    baked, maps, final = pt._static_chain(elements)
+    baked, maps, final, premasks = pt._static_chain(elements)
     tile = pt.BLOCK_ROWS * pt.LANES
     n_pad = ((n_rays + tile - 1) // tile) * tile
 
@@ -209,7 +209,7 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
         for i in range(reps):
             c = (comps[0] + (i + 1) * 1e-30,) + comps[1:]
             outs = pt._pallas_trace_padded(
-                c, baked, maps, final, pt.BLOCK_ROWS,
+                c, baked, maps, final, premasks, pt.BLOCK_ROWS,
                 jax.default_backend() == "cpu", fresh=True, n_rays=n_rays)
             for o in outs:
                 acc = acc + o.astype(jnp.float32).sum()

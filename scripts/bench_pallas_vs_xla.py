@@ -27,7 +27,7 @@ def main(n_rays=10_000_000, iters=6):
     source, elements = build_device(n_rays)
     print(f"# built, n={n_rays}", file=sys.stderr)
 
-    baked, maps, final = pt._static_chain(elements)
+    baked, maps, final, premasks = pt._static_chain(elements)
     tile = 512 * pt.LANES  # pad so every swept block_rows divides the rows
     n_pad = ((n_rays + tile - 1) // tile) * tile
 
@@ -53,7 +53,7 @@ def main(n_rays=10_000_000, iters=6):
             acc = jnp.asarray(0.0, jnp.float32)
             for i in range(reps):
                 c = (comps[0] + (i + 1) * 1e-30,) + comps[1:]
-                outs = pt._pallas_trace_padded(c, baked, maps, final, block_rows,
+                outs = pt._pallas_trace_padded(c, baked, maps, final, premasks, block_rows,
                                                False, fresh=fresh, n_rays=n_rays)
                 for o in outs:
                     acc = acc + o.astype(jnp.float32).sum()

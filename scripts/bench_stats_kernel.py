@@ -42,8 +42,7 @@ def main():
                                  det._plane_rotation(), distances,
                                  opl_ref=2000.0,
                                  delay_offsets=tuple(-d for d in distances))
-        baked = pt._static_elements(elements)
-        maps, final = pt._source_maps(spec, elements)
+        baked, maps, final, premasks = pt._source_maps(spec, elements)
         tile = pt.BLOCK_ROWS * pt.LANES
         n_pad = ((N + tile - 1) // tile) * tile
 
@@ -52,8 +51,8 @@ def main():
             acc = jnp.asarray(0.0, jnp.float32)
             for i in range(reps):
                 outs = pt._pallas_source_stats_padded(
-                    phase + i * 1e-7, spec, baked, maps, final, _det,
-                    pt.BLOCK_ROWS, False, N, n_pad // pt.LANES, None)
+                    phase + i * 1e-7, 0.0, spec, baked, maps, final, premasks,
+                    _det, pt.BLOCK_ROWS, False, N, N, n_pad // pt.LANES, None)
                 for o in outs:
                     acc = acc + o.sum()
             return acc

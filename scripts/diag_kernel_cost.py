@@ -42,14 +42,14 @@ def main():
     )))
 
     def make_step(els):
-        b, m, f = pt._static_chain(els)
+        b, m, f, pre = pt._static_chain(els)
 
         @partial(jax.jit, static_argnames=("reps",))
         def step(comps, reps: int):
             acc = jnp.asarray(0.0, jnp.float32)
             for i in range(reps):
                 c = (comps[0] + (i + 1) * 1e-30,) + comps[1:]
-                outs = pt._pallas_trace_padded(c, b, m, f, pt.BLOCK_ROWS, False,
+                outs = pt._pallas_trace_padded(c, b, m, f, pre, pt.BLOCK_ROWS, False,
                                                fresh=True, n_rays=N)
                 for o in outs:
                     acc = acc + o.astype(jnp.float32).sum()

@@ -63,7 +63,7 @@ def speed(iters, n_rays=10_000_000, reps_pair=(1, 5), rounds=5):
     from bench import build_device
 
     source, elements = build_device(n_rays)
-    baked, maps, final = pt._static_chain(elements)
+    baked, maps, final, premasks = pt._static_chain(elements)
     tile = pt.BLOCK_ROWS * pt.LANES
     n_pad = ((n_rays + tile - 1) // tile) * tile
 
@@ -85,7 +85,7 @@ def speed(iters, n_rays=10_000_000, reps_pair=(1, 5), rounds=5):
         acc = jnp.asarray(0.0, jnp.float32)
         for i in range(reps):
             c = (comps[0] + (i + 1) * 1e-30,) + comps[1:]
-            outs = pt._pallas_trace_padded(c, baked, maps, final, pt.BLOCK_ROWS, False)
+            outs = pt._pallas_trace_padded(c, baked, maps, final, premasks, pt.BLOCK_ROWS, False)
             for o in outs:
                 acc = acc + o.astype(jnp.float32).sum()
         return acc

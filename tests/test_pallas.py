@@ -177,3 +177,55 @@ def test_pallas_mixed_surface_chain_fuzz():
             np.asarray(out_p.d)[a], np.asarray(out_x.d)[a], atol=5e-5)
         np.testing.assert_allclose(
             np.asarray(out_p.opl)[a], np.asarray(out_x.opl)[a], atol=0.2)
+
+
+def test_premask_folding_semantics():
+    """fold_premasks: non-terminal masks become alive-predicates with their
+    frame map composed into the next element's affine. Checks (on the
+    chained-frame XLA reference, f64 so rounding cannot blur the comparison):
+    identical alive masks and identical alive-ray outputs vs the unfolded
+    chain, a terminal mask is never folded, and consecutive masks compose."""
+    import jax
+
+    from attosecondraytracing_tpu.ops.trace import (
+        bundle_to_state, compose_chain, fold_premasks, run_chain_chained,
+        state_to_bundle, MaskElement,
+    )
+
+    # chain with TWO consecutive masks then two toroids, plus a terminal mask
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    mask1 = mmask.Mask(msupp.SupportRoundHole(20, 7, 0, 0))
+    mask2 = mmask.Mask(msupp.SupportRoundHole(25, 5, 1.0, 0.5))
+    mask3 = mmask.Mask(msupp.SupportRoundHole(30, 10, 0, 0))
+    props = {"Divergence": 25e-3, "SourceSize": 0, "Wavelength": 80e-6,
+             "DeltaFT": 0.5, "NumberRays": 2000}
+    chain = OEPlacement(props, [mask1, mask2, tor, tor, mask3],
+                        [300, 80, 120, 100, 2 * focal],
+                        [0, 0, inc, -inc, 0], [0, 0, 0, 0, 0])
+    elements = chain.device_elements()  # f64 on the x64 test backend
+
+    maps, final = compose_chain(elements)
+    f_els, f_maps, f_pre = fold_premasks(elements, maps)
+    # the two leading masks fold into the first toroid; the terminal mask stays
+    assert len(f_els) == 3
+    assert len(f_pre[0]) == 2 and not any(f_pre[1:])
+    assert isinstance(f_els[-1], MaskElement)
+
+    s0 = bundle_to_state(chain.source_rays)
+    out_ref = run_chain_chained(s0, elements, maps, final)
+    out_fold = run_chain_chained(s0, f_els, f_maps, final, premasks=f_pre)
+
+    np.testing.assert_array_equal(np.asarray(out_fold.alive),
+                                  np.asarray(out_ref.alive))
+    a = np.asarray(out_ref.alive)
+    assert 100 < a.sum() < len(a)  # masks and supports actually clip
+    for leaf in ("px", "py", "pz", "dx", "dy", "dz", "incidence"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_fold, leaf))[a],
+            np.asarray(getattr(out_ref, leaf))[a], rtol=1e-12, atol=1e-9,
+            err_msg=leaf)
+    # OPL: one direct leg vs two collinear legs — equal to f64 rounding
+    np.testing.assert_allclose(np.asarray(out_fold.opl)[a],
+                               np.asarray(out_ref.opl)[a], atol=1e-6)
