@@ -226,16 +226,18 @@ def make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, Analy
     )
     bins = int(A["image_bins"])
 
-    # image_rays: render the spot/delay images from that many in-kernel
+    # image_rays: render the intensity/delay images from that many in-kernel
     # synthesized rays (chunked fused-source kernel + device binning) —
-    # detector images beyond any traceable bundle size. Supersedes the
-    # per-bundle spot/delay plots when requested and available.
+    # detector images beyond any traceable bundle size. Supersedes ONLY the
+    # per-bundle intensity/delay spot plots; incidence plots (which the
+    # giga-ray panels don't carry) still render from the traced bundle.
     image_rays = A.get("image_rays")
-    want_spot_or_delay = A["plot_SpotDiagram"] or any(
+    giga_done = False
+    want_giga = A["plot_SpotDiagram"] or any(
         A[f"plot_{w}SpotDiagram"] or A[f"plot_{w}Graph"]
-        for w in ("Delay", "Intensity", "Incidence")
+        for w in ("Delay", "Intensity")
     )
-    if image_rays and want_spot_or_delay:
+    if image_rays and want_giga:
         if chain.source_spec is None:
             print(
                 "[attosecondraytracing_tpu] image_rays ignored: this chain's "
@@ -250,21 +252,21 @@ def make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, Analy
                 n_total=int(image_rays), bins=(bins, bins),
             )
             plots.GigaRayImages(res, title=chain.description)
-            return
+            giga_done = True
 
-    if A["plot_SpotDiagram"]:
+    if A["plot_SpotDiagram"] and not giga_done:
         if use_images:
             plots.SpotDiagramImage(bundle, detector, A["DrawAiryAndFourier"], bins=bins)
         else:
             plots.SpotDiagram(bundle, detector, A["DrawAiryAndFourier"])
     for which in ("Delay", "Intensity", "Incidence"):
-        if A[f"plot_{which}SpotDiagram"]:
+        if A[f"plot_{which}SpotDiagram"] and not (giga_done and which != "Incidence"):
             if use_images:
                 plots.SpotDiagramImage(bundle, detector, A["DrawAiryAndFourier"], which, bins=bins)
             else:
                 plots.SpotDiagram(bundle, detector, A["DrawAiryAndFourier"], which)
     for which in ("Delay", "Intensity", "Incidence"):
-        if A[f"plot_{which}Graph"]:
+        if A[f"plot_{which}Graph"] and not (giga_done and which != "Incidence"):
             if use_images:
                 plots.DelayMapImage(
                     bundle, detector, SourceProperties["DeltaFT"], A["DrawAiryAndFourier"],

@@ -385,18 +385,29 @@ def fold_premasks(elements, maps):
 
 
 def premask_alive(premasks, s: TraceState):
-    """Alive mask after applying folded mask tests to the incoming state.
-    Arithmetic is identical to the full mask step (same affine, same plane
-    t, same support test), so transmit/block decisions are bit-equal."""
+    """(alive, t_floor) after applying folded mask tests to the incoming
+    state. Arithmetic is identical to the full mask step (same affine, same
+    plane t, same support test).
+
+    Because folded masks never advance the ray, "forward" for everything
+    downstream must still be measured from the mask plane the reference
+    advances to: each mask's own crossing must lie beyond the previous one
+    (``t > t_floor + T_EPS``, the unfolded chain's per-frame ``t > T_EPS``),
+    and the returned ``t_floor`` (furthest crossing, per ray) becomes the
+    minimum ray parameter for the NEXT element's intersection — otherwise a
+    tilted/grazing mask whose plane crossing lies beyond a later element
+    would transmit rays the unfolded chain kills (or vice versa)."""
     alive = s.alive
+    t_floor = jnp.zeros_like(s.px)
     for support, Mm, bm in premasks:
         (mx, my, mz), (mux, muy, muz) = _affine_c(
             Mm, bm, s.px, s.py, s.pz, s.dx, s.dy, s.dz
         )
         t = -mz / jnp.where(jnp.abs(muz) > 1e-30, muz, jnp.inf)
         on_support = sup.include(support, mx + t * mux, my + t * muy)
-        alive = alive & (t > T_EPS) & ~on_support
-    return alive
+        alive = alive & (t > t_floor + T_EPS) & ~on_support
+        t_floor = jnp.maximum(t_floor, t)  # garbage on dead lanes: masked
+    return alive, t_floor
 
 
 def _affine_c(M, b, px, py, pz, dx, dy, dz):
@@ -424,9 +435,16 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool,
     composition into the reflecting normal.
 
     ``premasks``: folded mask tests (:func:`fold_premasks`) applied to the
-    incoming state before this element's own step."""
+    incoming state before this element's own step. They also raise this
+    element's minimum ray parameter to the furthest folded-mask crossing
+    (see :func:`premask_alive`), reproducing the unfolded chain's
+    advance-to-the-mask-plane semantics exactly."""
     if premasks:
-        s = s._replace(alive=premask_alive(premasks, s))
+        alive, t_floor = premask_alive(premasks, s)
+        s = s._replace(alive=alive)
+        t_eps = t_floor + T_EPS  # (N,) per-ray floor; broadcasts everywhere
+    else:
+        t_eps = T_EPS
     (qx, qy, qz), (ux, uy, uz) = _affine_c(
         M, b, s.px, s.py, s.pz, s.dx, s.dy, s.dz
     )
@@ -435,12 +453,12 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool,
         t = -qz / jnp.where(jnp.abs(uz) > 1e-30, uz, jnp.inf)
         x, y, z = qx + t * ux, qy + t * uy, qz + t * uz
         on_support = sup.include(element.support, x, y)
-        valid = (t > T_EPS) & ~on_support
+        valid = (t > t_eps) & ~on_support
         rx, ry, rz = ux, uy, uz
         dn = -uz  # mask incidence uses +u: acos(uz)
     elif element.defects:
         cen = element.centre
-        t, valid = srf.intersect_c(element.surface, element.support, (qx, qy, qz), (ux, uy, uz))
+        t, valid = srf.intersect_c(element.surface, element.support, (qx, qy, qz), (ux, uy, uz), t_eps=t_eps)
         # shift the hit along the ray by the local height error
         # (ART/ModuleMirror.py:969-980)
         x0, y0, z0 = qx + t * ux, qy + t * uy, qz + t * uz
@@ -467,7 +485,8 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool,
     else:
         cen = element.centre
         t, valid, (nx, ny, nz), (x, y, z) = srf.intersect_with_normal_c(
-            element.surface, element.support, (qx, qy, qz), (ux, uy, uz)
+            element.surface, element.support, (qx, qy, qz), (ux, uy, uz),
+            t_eps=t_eps
         )
         dn = ux * nx + uy * ny + uz * nz
         rx, ry, rz = ux - 2.0 * dn * nx, uy - 2.0 * dn * ny, uz - 2.0 * dn * nz

@@ -27,7 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import matplotlib
 
 matplotlib.use("Agg")
-import matplotlib.pyplot as plt
 import numpy as np
 
 from attosecondraytracing_tpu.analysis.gigascan import fused_source_images
@@ -62,25 +61,12 @@ def main(n_total: int) -> None:
     res = fused_source_images(chain.source_spec, elements, det,
                               n_total=n_total, bins=(512, 512))
 
-    (lo, hi) = res["extent"]
-    extent_um = [lo[0] * 1e3, hi[0] * 1e3, lo[1] * 1e3, hi[1] * 1e3]
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.6), dpi=130)
-    im1 = ax1.imshow(res["image"].T, origin="lower", extent=extent_um,
-                     cmap="inferno", aspect="auto")
-    ax1.set_title(f"intensity ({res['n_total']:.1e} rays)")
-    fig.colorbar(im1, ax=ax1, label="weight / pixel")
-    im2 = ax2.imshow(res["mean_delay"].T, origin="lower", extent=extent_um,
-                     cmap="coolwarm", aspect="auto")
-    ax2.set_title("mean delay [fs]")
-    fig.colorbar(im2, ax=ax2, label="fs")
-    for ax in (ax1, ax2):
-        ax.set_xlabel("x [um]")
-        ax.set_ylabel("y [um]")
-    fig.suptitle(chain.description)
-    fig.tight_layout()
+    from attosecondraytracing_tpu.analysis.plots import GigaRayImages
+
+    fig = GigaRayImages(res, title=chain.description)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "gigaray_delay_map.png")
-    fig.savefig(out)
+    fig.savefig(out, dpi=130)
     w = res["sum_w"]
     d = res["mean_delay"]
     print(f"rays traced: {res['n_total']:.3e}, surviving weight {w:.3e}")

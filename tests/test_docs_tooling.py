@@ -51,7 +51,7 @@ def test_md_to_html_core_constructs():
     # .md links rewritten to .html
     assert '<a href="other.html">link</a>' in html
     # the two source lines join into one paragraph
-    assert "and a link".replace("link", "") or "in a joined paragraph" in html
+    assert "in a joined paragraph" in html
     assert "<table><thead>" in html and "<td><code>1</code></td>" in html
     assert "<li>item one</li>" in html
     assert "<li>item two continued line</li>" in html
@@ -61,15 +61,16 @@ def test_md_to_html_core_constructs():
 
 
 def test_site_build_is_current(tmp_path, monkeypatch, capsys):
-    """docs/html/ must be rebuildable and every guide/API markdown page must
-    have a rendered HTML counterpart (catches forgetting to re-run the
-    generator after adding a doc)."""
+    """The site must be rebuildable and every guide/API markdown page must
+    get a rendered HTML counterpart (catches forgetting to re-run the
+    generator after adding a doc). Builds into tmp_path — running the test
+    suite must not rewrite the committed docs/html/ tree."""
     m = _load()
+    monkeypatch.setattr(m, "OUT", str(tmp_path))
     m.build()
     out = capsys.readouterr().out
     assert "wrote" in out
-    html_dir = os.path.join(ROOT, "docs", "html")
-    pages = set(os.listdir(html_dir))
+    pages = set(os.listdir(tmp_path))
     for f in os.listdir(os.path.join(ROOT, "docs")):
         if f.endswith(".md"):
             assert f[:-3] + ".html" in pages, f

@@ -229,3 +229,42 @@ def test_premask_folding_semantics():
     # OPL: one direct leg vs two collinear legs — equal to f64 rounding
     np.testing.assert_allclose(np.asarray(out_fold.opl)[a],
                                np.asarray(out_ref.opl)[a], atol=1e-6)
+
+
+def test_premask_folding_tilted_grazing_mask_parity():
+    """Regression: a folded mask never advances the ray, so without a per-ray
+    t-floor the NEXT element's forward test (t > eps) would run from the
+    pre-mask position — a tilted/grazing mask whose plane crossing lies
+    beyond a later element then transmits rays the unfolded chain kills
+    (observed: ~half the bundle flipping alive). premask_alive's t_floor must
+    reproduce the advance-to-the-mask-plane semantics exactly."""
+    from attosecondraytracing_tpu.ops.trace import (
+        bundle_to_state, compose_chain, fold_premasks, run_chain_chained,
+    )
+
+    # perpendicular mask, then an 85-deg (grazing) mask whose plane crossings
+    # land tens of metres downstream for off-axis rays, then a terminal mask
+    m1 = mmask.Mask(msupp.SupportRoundHole(50, 10, 0, 0))
+    m2 = mmask.Mask(msupp.SupportRoundHole(50, 10, 0, 0))
+    m3 = mmask.Mask(msupp.SupportRoundHole(80, 30, 0, 0))
+    props = {"Divergence": 0.09, "SourceSize": 0, "Wavelength": 50e-6,
+             "DeltaFT": 0.5, "NumberRays": 2001}
+    chain = OEPlacement(props, [m1, m2, m3], [300.0, 10.0, 690.0],
+                        [0.0, 85.0, 0.0], [0.0, 0.0, 0.0])
+    elements = chain.device_elements()
+
+    maps, final = compose_chain(elements)
+    f_els, f_maps, f_pre = fold_premasks(elements, maps)
+    assert len(f_els) == 1 and len(f_pre[0]) == 2
+
+    s0 = bundle_to_state(chain.source_rays)
+    out_ref = run_chain_chained(s0, elements, maps, final)
+    out_fold = run_chain_chained(s0, f_els, f_maps, final, premasks=f_pre)
+    a_ref = np.asarray(out_ref.alive)
+    a_fold = np.asarray(out_fold.alive)
+    np.testing.assert_array_equal(a_fold, a_ref)
+    # the geometry actually exercises the trap: some rays' grazing-mask plane
+    # crossing lies beyond the terminal mask (they must die there)
+    assert 0 < a_ref.sum() < len(a_ref)
+    np.testing.assert_allclose(np.asarray(out_fold.opl)[a_ref],
+                               np.asarray(out_ref.opl)[a_ref], atol=1e-6)
