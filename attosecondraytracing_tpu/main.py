@@ -421,9 +421,10 @@ def _batched_final_bundles(chains):
     return [jax.tree.map(lambda x, i=i: x[i], outs) for i in range(len(chains))]
 
 
-def run_config_file(path: str):
+def run_config_file(path: str, n_rays: int | None = None):
     """Execute a CONFIG file and run main() on its contents (CLI path,
-    ARTmain.py:346-382)."""
+    ARTmain.py:346-382). ``n_rays`` overrides the config's ray count by
+    regenerating each chain's source at that size (CLI ``--rays``)."""
     global _CLI_ACTIVE
     log.print_banner()
     filename = os.path.basename(path)
@@ -434,6 +435,14 @@ def run_config_file(path: str):
     try:
         spec.loader.exec_module(config_module)
         chains, sp, do, ao = load_config(config_module)
+        if n_rays is not None:
+            sp = dict(sp, NumberRays=int(n_rays))
+            for chain in chains if isinstance(chains, list) else [chains]:
+                try:
+                    chain.resize_source(int(n_rays))
+                except ValueError as exc:
+                    print(f"[attosecondraytracing_tpu] --rays ignored for "
+                          f"'{chain.description}': {exc}", flush=True)
         return main(chains, sp, do, ao, save_file_name=os.path.splitext(path)[0])
     finally:
         _CLI_ACTIVE = False
@@ -453,11 +462,23 @@ def cli(argv=None):
             print("--profile requires a trace output directory")
             sys.exit(1)
         del argv[i : i + 2]
+    n_rays = None
+    if "--rays" in argv:
+        # production-scale any config without editing it: regenerate each
+        # chain's source at this count (needs a factory Vogel source)
+        i = argv.index("--rays")
+        try:
+            n_rays = int(float(argv[i + 1]))
+        except (IndexError, ValueError):
+            print("--rays requires a ray count (e.g. --rays 1e7)")
+            sys.exit(1)
+        del argv[i : i + 2]
     if len(argv) < 1:
-        print("Usage: python -m attosecondraytracing_tpu.main [--profile DIR] CONFIG_FILE")
+        print("Usage: python -m attosecondraytracing_tpu.main "
+              "[--profile DIR] [--rays N] CONFIG_FILE")
         sys.exit(1)
     with log.jax_profile(profile_dir):
-        run_config_file(argv[0])
+        run_config_file(argv[0], n_rays=n_rays)
 
 
 if __name__ == "__main__":

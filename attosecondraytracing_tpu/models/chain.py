@@ -129,6 +129,36 @@ class OpticalChain:
         be an in-kernel-synthesizable Vogel source (None otherwise)."""
         return self._source_spec
 
+    def resize_source(self, n_rays: int) -> None:
+        """Regenerate the source bundle at a different ray count from the
+        chain's fused-source description (same kind, origin, axis,
+        divergence/radius, wavelength, and Gaussian profile) — e.g. to
+        production-scale an example config from the CLI (``--rays``).
+        Only available while ``source_spec`` is set (factory Vogel sources);
+        raises ValueError for user-supplied bundles."""
+        from . import sources as msource
+
+        spec = self._source_spec
+        if spec is None:
+            raise ValueError(
+                "resize_source needs a synthesizable source (source_spec is "
+                "None — the bundle was user-supplied or already consumed)"
+            )
+        n_rays = int(n_rays)
+        origin = np.asarray(spec.origin, dtype=float)
+        axis = np.asarray(spec.axis, dtype=float)
+        if spec.kind == "cone":
+            bundle = msource.PointSource(origin, axis, spec.param, n_rays,
+                                         Wavelength=spec.wavelength)
+        else:
+            bundle = msource.PlaneWaveDisk(origin, axis, spec.param, n_rays,
+                                           Wavelength=spec.wavelength)
+        if spec.gaussian_edge is not None:
+            bundle = msource.ApplyGaussianIntensityToRayList(
+                bundle, spec.gaussian_edge)
+        self._set_source(bundle, spec._replace(n_rays=n_rays))
+        self._output_rays = None  # retrace on next use
+
     # ------------------------------------------------------------------
     def copy_chain(self) -> "OpticalChain":
         return OpticalChain(self.source_rays, self.optical_elements, self.description,

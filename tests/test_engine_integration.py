@@ -191,3 +191,28 @@ def test_driver_image_rays_gigascan(monkeypatch, capsys):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_resize_source_cli_override():
+    """OpticalChain.resize_source regenerates the bundle at a new count from
+    the fused-source spec (CLI --rays): same geometry/profile, spec kept in
+    sync, user-supplied bundles refuse loudly."""
+    import pytest as _pytest
+
+    chain = _flagship(512)
+    spec0 = chain.source_spec
+    chain.resize_source(2048)
+    assert chain.source_rays.n_rays == 2048
+    assert chain.source_spec.n_rays == 2048
+    assert chain.source_spec.kind == spec0.kind
+    assert chain.source_spec.param == spec0.param
+    # physics consistent: transmission within a couple % of the 512-ray run
+    out = chain.trace_final()
+    et = float(np.asarray(out.alive).mean())
+    chain2 = _flagship(512)
+    et2 = float(np.asarray(chain2.trace_final().alive).mean())
+    assert abs(et - et2) < 0.05
+
+    chain.source_rays = chain.source_rays  # user-supplied -> spec cleared
+    with _pytest.raises(ValueError):
+        chain.resize_source(100)
