@@ -231,7 +231,46 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
             acc = acc + out.alive.sum().astype(jnp.float32)
         return acc
 
+    # --- fused trace -> 20-distance detector-statistics scan ----------------
+    # the production detector-optimization primitive: one kernel pass
+    # evaluates spot/duration statistics at 20 scan distances for the whole
+    # bundle (ART evaluates these serially per position per ray)
+    from attosecondraytracing_tpu.models.detector import Detector
+
+    probe = pt.source_bundle(spec, 4096, wavelength=WAVELENGTH)
+    from attosecondraytracing_tpu.ops.trace import trace as _trace
+
+    det = Detector(np.zeros(3))
+    det.autoplace(_trace(probe, elements, keep_history=False), 500.0)
+    distances = tuple(np.linspace(-10.0, 10.0, 20))
+    opl_ref, delay_offsets = pt.chief_ray_refs(
+        spec, elements, det.centre, det.normal, distances)
+    det_b = pt.bake_detector(elements, det.centre, det.normal,
+                             det._plane_rotation(), distances,
+                             opl_ref=opl_ref, delay_offsets=delay_offsets)
+    baked_f, maps_f, final_f, premasks_f = pt._source_maps(spec, elements)
+    n_pad_s = ((n_rays + tile - 1) // tile) * tile
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def step_scan(phase, reps: int):
+        acc = jnp.asarray(0.0, jnp.float32)
+        for i in range(reps):
+            outs = pt._pallas_source_stats_padded(
+                phase + i * 1e-7, jnp.float32(0.0), spec, baked_f, maps_f,
+                final_f, premasks_f, det_b, pt.BLOCK_ROWS,
+                jax.default_backend() == "cpu", n_rays, n_rays,
+                n_pad_s // pt.LANES, None)
+            for o in outs:
+                acc = acc + o.sum()
+        return acc
+
     results = {}
+    results["scan20"] = _slope_time(step_scan, jnp.float32(0.0), rounds=iters,
+                                    verbose=verbose, label="scan20")
+    if verbose:
+        print(f"# scan20: {results['scan20']*1e3:.3f} ms/pass "
+              f"({20 * n_rays / results['scan20'] / 1e9:.1f} Gray-distance-evals/s)",
+              file=sys.stderr)
     results["pallas_src"] = _slope_time(step_src, jnp.float32(0.0), rounds=iters,
                                         verbose=verbose, label="pallas_src")
     if verbose:
@@ -245,7 +284,8 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
     if verbose:
         print(f"# xla:    {results['xla']*1e3:.3f} ms/trace", file=sys.stderr)
 
-    path, dt = min(results.items(), key=lambda kv: kv[1])
+    trace_paths = {k: v for k, v in results.items() if k != "scan20"}
+    path, dt = min(trace_paths.items(), key=lambda kv: kv[1])
     rays_per_s = n_rays / dt
     print(
         json.dumps(
@@ -258,6 +298,10 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
                 "xla_rays_per_second": n_rays / results["xla"],
                 "pallas_rays_per_second": n_rays / results["pallas"],
                 "pallas_src_rays_per_second": n_rays / results["pallas_src"],
+                # fused trace->stats kernel: whole-bundle spot/duration
+                # statistics at 20 detector distances in one pass
+                "scan20_ms": results["scan20"] * 1e3,
+                "scan20_ray_distance_evals_per_s": 20 * n_rays / results["scan20"],
                 # compile budget [s]: mosaic_warmup is the one-time
                 # per-process toolchain cost; per-path entries are the real
                 # kernel compile+first-run times (regressions show up here)
