@@ -87,7 +87,7 @@ def fused_source_images(
     normal = jnp.asarray(detector.normal, jnp.float32)
     rotj = jnp.asarray(rot, jnp.float32)
 
-    opl_ref, _ = pt.chief_ray_refs(baked, elements, detector.centre,
+    opl_ref, _, _ = pt.chief_ray_refs(baked, elements, detector.centre,
                                    detector.normal, (0.0,))
 
     if extent is None:

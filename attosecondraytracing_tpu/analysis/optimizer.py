@@ -141,23 +141,32 @@ def FindOptimalDistancePallas(
     gaussian_edge: float | None = None,
     verbose: bool = False,
 ):
-    """Detector-distance optimization without ever materializing the bundle:
-    each refinement level is ONE fused trace->stats kernel pass
-    (ops.pallas_trace.pallas_source_detector_stats) evaluating all ~20
-    candidate distances — the reference's whole
-    `_FindOptimalDistanceBIS` scan round (ART/ModuleProcessing.py:317-366)
-    per launch, at any ray count (1e7 rays x 20 distances in ~2.6 ms on
-    v5e).
+    """Detector-distance optimization without ever materializing the bundle —
+    and without a refinement loop: ONE fused trace->moments kernel pass
+    (ops.pallas_trace.pallas_source_detector_moments) determines every
+    per-distance statistic as an EXACT quadratic in the scan distance (the
+    alive mask cannot depend on the detector position, so the quadratics
+    hold globally), and the fitness is minimized on the host in float64 at
+    arbitrary resolution. The reference's whole iterative refinement
+    (ART/ModuleProcessing.py:317-460: Precision+1 rounds of 20-point scans)
+    collapses to a single ~1 ms kernel launch at any ray count.
 
     ``spec`` is an ops.pallas_trace.BakedSource; ``Detector`` supplies the
-    starting plane. Same refinement schedule and OptFor semantics as
-    :func:`FindOptimalDistance`. Gaussian source weighting via
-    ``gaussian_edge`` (the ApplyGaussianIntensityToRayList edge value).
-    Duration readings carry the stats kernel's ~0.6 fs float32 noise floor.
+    starting plane; ``Amplitude`` bounds the search window (auto-sized from
+    spot and NA like the reference); ``Precision`` sets the host
+    minimization grid (10**(Precision+2) points — resolution far beyond the
+    reference's final refinement step, at zero device cost). Gaussian source
+    weighting via ``gaussian_edge``. Duration readings carry the stats
+    kernel's ~0.6 fs float32 noise floor.
 
     Returns (optimal Detector copy, spot SD [mm], duration SD [fs]).
     """
-    from ..ops.pallas_trace import pallas_source_detector_stats, source_bundle
+    from ..ops.pallas_trace import (
+        moments_to_distance_sums,
+        pallas_source_detector_moments,
+        source_bundle,
+    )
+    from ..ops.precision import LIGHT_SPEED_MM_S
     from ..ops.trace import trace
 
     if OptFor not in _OPTFOR_ALIASES:
@@ -177,32 +186,34 @@ def FindOptimalDistancePallas(
         na = float(stats.numerical_aperture(out))
         Amplitude = min(4 * np.ceil(size_spot / np.tan(np.arcsin(min(na, 1.0)))), first_distance)
     amplitude = float(Amplitude)
-    step = amplitude / 10.0
 
     rot = det._plane_rotation()
-    base_shift = 0.0
-    opt_spot = np.nan
-    opt_duration = np.nan
-    for k in range(Precision + 1):
-        amp_k = amplitude * 0.1**k
-        step_k = step * 0.1**k
-        n = int(2 * amp_k / step_k)
-        shifts = base_shift + (-amp_k + step_k * np.arange(n))
-        res = pallas_source_detector_stats(
-            spec, elements, n_rays, det.centre, det.normal, rot,
-            distances=tuple(float(s) for s in shifts),
-            gaussian_edge=gaussian_edge,
-        )
-        if opt_for == "intensity":
-            fitness = res["spot_sd"] ** 2 * res["duration_sd"]
-        elif opt_for == "duration":
-            fitness = res["duration_sd"]
-        else:
-            fitness = res["spot_sd"]
-        ind = int(np.argmin(fitness))
-        base_shift = float(shifts[ind])
-        opt_spot = float(res["spot_sd"][ind])
-        opt_duration = float(res["duration_sd"][ind])
+    mom = pallas_source_detector_moments(
+        spec, elements, n_rays, det.centre, det.normal, rot,
+        gaussian_edge=gaussian_edge,
+    )
+    # dense float64 minimization of the exact-quadratic statistics: finer
+    # than the reference's last refinement step (amplitude*0.1^Precision/10)
+    n_grid = int(10 ** (Precision + 2)) + 1
+    shifts = np.linspace(-amplitude, amplitude, n_grid)
+    sums = moments_to_distance_sums(mom["moments"], shifts)
+    w = np.maximum(sums["w"], 1e-30)
+    var_x = np.maximum(sums["wxx"] / w - (sums["wx"] / w) ** 2, 0.0)
+    var_y = np.maximum(sums["wyy"] / w - (sums["wy"] / w) ** 2, 0.0)
+    var_d = np.maximum(sums["wdd"] / w - (sums["wd"] / w) ** 2, 0.0)
+    to_fs = 1e15 / LIGHT_SPEED_MM_S
+    spot_sd = np.sqrt(var_x + var_y)
+    duration_sd = np.sqrt(var_d) * to_fs
+    if opt_for == "intensity":
+        fitness = spot_sd**2 * duration_sd
+    elif opt_for == "duration":
+        fitness = duration_sd
+    else:
+        fitness = spot_sd
+    ind = int(np.argmin(fitness))
+    base_shift = float(shifts[ind])
+    opt_spot = float(spot_sd[ind])
+    opt_duration = float(duration_sd[ind])
 
     det.shiftByDistance(base_shift)
 

@@ -286,7 +286,7 @@ def make_loss_spec(
     (models/chain.py), its device elements, and the (fixed, lab-frame)
     detector plane."""
     baked_src = source_spec.baked()
-    opl_ref, _ = pt.chief_ray_refs(baked_src, elements, det_centre, det_normal, (0.0,))
+    opl_ref, _, _ = pt.chief_ray_refs(baked_src, elements, det_centre, det_normal, (0.0,))
     kinds = tuple(
         "mask" if isinstance(el, MaskElement) else "mirror" for el in elements
     )

@@ -518,10 +518,16 @@ class BakedDetector(NamedTuple):
     #: detector by d mm shifts every delay by ~d mm; squaring that in f32
     #: would drown the fs-scale variance)
     delay_offsets: tuple = ()
+    #: chief ray's 1/(d.n): the moment epilogue subtracts it from each ray's
+    #: own inverse plane-approach rate so the distance-coefficient of the
+    #: delay stays fs/mm-scale (equivalent to delay_offsets, but as a single
+    #: constant instead of one offset per baked distance)
+    inv_dn_chief: float = 0.0
 
 
 def bake_detector(elements, det_centre, det_normal, det_rot,
-                  distances=(0.0,), opl_ref=0.0, delay_offsets=None) -> BakedDetector:
+                  distances=(0.0,), opl_ref=0.0, delay_offsets=None,
+                  inv_dn_chief=0.0) -> BakedDetector:
     """Express a lab-frame detector plane in the final element's
     patch-relative frame (see run_chain_chained's output convention:
     p_lab = R_K^T x_rel + pos_K)."""
@@ -539,6 +545,7 @@ def bake_detector(elements, det_centre, det_normal, det_rot,
         centre=bake(c_rel), normal=bake(n_rel), e1=bake(e1), e2=bake(e2),
         distances=tuple(float(d) for d in distances), opl_ref=float(opl_ref),
         delay_offsets=tuple(float(v) for v in delay_offsets),
+        inv_dn_chief=float(inv_dn_chief),
     )
 
 
@@ -602,11 +609,90 @@ def stats_rows(s: TraceState, det: BakedDetector, weights):
     return rows
 
 
+#: distance-independent weighted moments accumulated by the moment epilogue,
+#: in lane order. Per ray, with x0/y0/d0 the impact coordinates and (small)
+#: delay at scan distance 0 and cx/cy/cd their (small) distance-coefficients
+#: (x_j = x0 - d cx, y_j = y0 - d cy, delay_j = d0 - d cd), every
+#: per-distance weighted sum the stats need is an EXACT quadratic in the
+#: scan distance d — so the kernel reduces 16 numbers once and any number of
+#: scan distances are evaluated on the host in float64
+#: (:func:`moments_to_distance_sums`).
+MOMENT_FIELDS = (
+    "w", "x0", "y0", "d0", "cx", "cy", "cd",
+    "x0x0", "y0y0", "d0d0", "x0cx", "y0cy", "d0cd",
+    "cxcx", "cycy", "cdcd",
+)
+
+
+def moment_rows(s: TraceState, det: BakedDetector, weights):
+    """One (8, LANES) block whose row 0 holds this program's 16 weighted
+    moment partial sums (lane m = MOMENT_FIELDS[m]).
+
+    Conditioning: ``d0`` is the distance-0 delay relative to the chief ray
+    (fs-scale, as in stats_rows), and ``cd = inv_dn - inv_dn_chief`` is the
+    *deviation* of the ray's inverse plane-approach rate from the chief
+    ray's — the exact per-ray equivalent of stats_rows' per-distance
+    ``delay_offsets`` subtraction, so no moment ever squares an mm-scale
+    number."""
+    w = jnp.where(s.alive, weights, 0.0)
+    c, n = det.centre, det.normal
+    dn = s.dx * n[0] + s.dy * n[1] + s.dz * n[2]
+    # keep the exact divide (see stats_rows NOTE): reciprocal noise on the
+    # ~500 mm leg would add ~0.4 fs of per-ray delay noise
+    inv_dn = 1.0 / jnp.where(jnp.abs(dn) > 1e-30, dn, jnp.inf)
+    b0 = (c[0] - s.px) * n[0] + (c[1] - s.py) * n[1] + (c[2] - s.pz) * n[2]
+    t0 = b0 * inv_dn
+    a1 = (s.px - c[0]) * det.e1[0] + (s.py - c[1]) * det.e1[1] + (s.pz - c[2]) * det.e1[2]
+    a2 = (s.px - c[0]) * det.e2[0] + (s.py - c[1]) * det.e2[1] + (s.pz - c[2]) * det.e2[2]
+    g1 = s.dx * det.e1[0] + s.dy * det.e1[1] + s.dz * det.e1[2]
+    g2 = s.dx * det.e2[0] + s.dy * det.e2[1] + s.dz * det.e2[2]
+    x0 = a1 + t0 * g1
+    y0 = a2 + t0 * g2
+    cx = inv_dn * g1
+    cy = inv_dn * g2
+    cd = inv_dn - det.inv_dn_chief
+    d0 = (s.opl - det.opl_ref) - s.opl_c + t0
+    vals = {
+        "w": w, "x0": w * x0, "y0": w * y0, "d0": w * d0,
+        "cx": w * cx, "cy": w * cy, "cd": w * cd,
+        "x0x0": w * x0 * x0, "y0y0": w * y0 * y0, "d0d0": w * d0 * d0,
+        "x0cx": w * x0 * cx, "y0cy": w * y0 * cy, "d0cd": w * d0 * cd,
+        "cxcx": w * cx * cx, "cycy": w * cy * cy, "cdcd": w * cd * cd,
+    }
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    row0 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) == 0)
+    out = jnp.zeros((8, LANES), jnp.float32)
+    for m, name in enumerate(MOMENT_FIELDS):
+        out = out + jnp.sum(vals[name]) * ((lane == m) & row0).astype(jnp.float32)
+    return out
+
+
+def moments_to_distance_sums(moments, distances):
+    """Per-distance weighted sums (stats_rows'/STATS_FIELDS' semantics) from
+    the 16 moment sums, evaluated in float64 for arbitrarily many distances.
+
+    ``moments``: (16,) array-like in MOMENT_FIELDS order (already reduced
+    over programs/chunks/devices). Returns a dict of (J,) float64 arrays."""
+    m = {name: np.float64(v) for name, v in zip(MOMENT_FIELDS, np.asarray(moments, np.float64))}
+    d = np.asarray(distances, np.float64)
+    return {
+        "w": np.broadcast_to(m["w"], d.shape).copy(),
+        "wx": m["x0"] - d * m["cx"],
+        "wy": m["y0"] - d * m["cy"],
+        "wxx": m["x0x0"] - 2.0 * d * m["x0cx"] + d * d * m["cxcx"],
+        "wyy": m["y0y0"] - 2.0 * d * m["y0cy"] + d * d * m["cycy"],
+        "wd": m["d0"] - d * m["cd"],
+        "wdd": m["d0d0"] - 2.0 * d * m["d0cd"] + d * d * m["cdcd"],
+    }
+
+
 def chief_ray_refs(spec: BakedSource, elements, det_centre, det_normal,
                    distances, opl_ref: float | None = None):
-    """(opl_ref, delay_offsets) for the stats kernels: the optical path of a
-    surviving probe ray to the detector plane and, per scan distance, its leg
-    increment (so in-kernel delays stay fs-scale at every scan position).
+    """(opl_ref, delay_offsets, inv_dn_chief) for the stats kernels: the
+    optical path of a surviving probe ray to the detector plane and, per scan
+    distance, its leg increment (so in-kernel delays stay fs-scale at every
+    scan position); ``inv_dn_chief`` is the same correction as a single
+    constant for the moment epilogue.
 
     A small probe bundle is traced on the XLA path; if no probe ray survives
     the chain, the probe is retried with more rays before failing loudly —
@@ -641,7 +727,7 @@ def chief_ray_refs(spec: BakedSource, elements, det_centre, det_normal,
             - np.asarray(pout.opl_c, np.float64)[k0] + t_leg
         )
     delay_offsets = tuple(float(-dist / dn) for dist in distances)
-    return float(opl_ref), delay_offsets
+    return float(opl_ref), delay_offsets, float(1.0 / dn)
 
 
 def _kernel_source_stats(scalars, *outs, source, elements, maps, final,
@@ -716,6 +802,77 @@ def _pallas_source_stats_padded(phase, k_frac, source, elements, maps, final,
                  jnp.asarray(k_frac, jnp.float32)]))
 
 
+def _kernel_source_moments(scalars, out, *, source, elements, maps, final,
+                           premasks, det, n_rays, n_total, block_rows,
+                           gaussian_edge, ignore_defects):
+    shape = (block_rows, LANES)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = (pl.program_id(0) * block_rows + rows) * LANES + lanes
+    kf = idx.astype(jnp.float32)
+    cx, cy = _vogel_xy_c(kf, n_total, source.radius, scalars[0], scalars[1])
+    zeros = jnp.zeros(shape, dtype=jnp.float32)
+    ones = jnp.ones(shape, dtype=jnp.float32)
+    if source.kind == "cone":
+        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
+        px, py, pz = zeros, zeros, zeros
+        dx, dy, dz = cx * inv, cy * inv, inv
+    else:
+        px, py, pz = cx, cy, zeros
+        dx, dy, dz = zeros, zeros, ones
+    if gaussian_edge is None:
+        weights = ones
+    else:
+        rr = (cx * cx + cy * cy) * (1.0 / source.radius**2)
+        weights = jnp.exp(float(np.log(gaussian_edge)) * rr)
+    s = TraceState(
+        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        opl=zeros, opl_c=zeros,
+        alive=idx < n_rays,
+        incidence=zeros,
+    )
+    for el, (M, b), pre in zip(elements, maps, premasks):
+        s = chained_step(el, M, b, s, want_incidence=False,
+                         ignore_defects=ignore_defects, premasks=pre)
+    out[:] = moment_rows(s, det, weights)
+
+
+@partial(jax.jit, static_argnames=("source", "elements", "maps", "final",
+                                   "premasks", "det", "block_rows", "interpret",
+                                   "n_rays", "n_total", "rows", "gaussian_edge",
+                                   "ignore_defects"))
+def _pallas_source_moments_padded(phase, k_frac, source, elements, maps, final,
+                                  premasks, det, block_rows, interpret, n_rays,
+                                  n_total, rows, gaussian_edge,
+                                  ignore_defects=True):
+    """Fused source->trace->MOMENT epilogue: one (n_programs*8, LANES) block
+    whose row 8i holds program i's 16 distance-independent moment sums. The
+    per-distance statistics for ANY number of scan distances follow on the
+    host (:func:`moments_to_distance_sums`) — the kernel cost is
+    J-independent, and the scan distances are runtime values (re-baking the
+    detector distances no longer recompiles)."""
+    if n_rays >= 1 << 24:
+        raise ValueError("per-call ray count must stay < 2^24 (float index "
+                         "exactness); chunk or shard larger ranges")
+    grid = (rows // block_rows,)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    rowspec = pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kernel = partial(_kernel_source_moments, source=source, elements=elements,
+                     maps=maps, final=final, premasks=premasks, det=det,
+                     n_rays=n_rays, n_total=n_total, block_rows=block_rows,
+                     gaussian_edge=gaussian_edge, ignore_defects=ignore_defects)
+    n_programs = rows // block_rows
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[sspec],
+        out_specs=rowspec,
+        out_shape=jax.ShapeDtypeStruct((n_programs * 8, LANES), jnp.float32),
+        interpret=interpret,
+    )(jnp.stack([jnp.asarray(phase, jnp.float32),
+                 jnp.asarray(k_frac, jnp.float32)]))
+
+
 def pallas_source_detector_stats(
     spec: BakedSource,
     elements,
@@ -747,7 +904,11 @@ def pallas_source_detector_stats(
       100 * sum_w / total source weight.
 
     ``distances`` are shifts along -normal from ``det_centre``
-    (Detector.shiftByDistance semantics), max 128 per call. ``opl_ref``
+    (Detector.shiftByDistance semantics) — any number per call: the kernel
+    reduces 16 distance-independent MOMENTS (every per-distance sum is an
+    exact quadratic in the scan distance, see :data:`MOMENT_FIELDS`), so the
+    kernel cost is J-independent and the distances are evaluated on the host
+    in float64. Re-baking a new distance set does NOT recompile. ``opl_ref``
     defaults to the chief ray's optical path to the detector plane (computed
     with a tiny on-the-fly trace) — it only needs to be near the bundle mean
     so float32 squares stay small.
@@ -759,20 +920,64 @@ def pallas_source_detector_stats(
     metrology run the two-pass path (trace + detector_delays) in float64."""
     from .precision import LIGHT_SPEED_MM_S
 
-    if len(distances) > LANES:
-        raise ValueError(f"at most {LANES} scan distances per call")
-    # chief-ray reference path + per-distance leg increments: keep in-kernel
-    # delays fs-scale at every scan position (see BakedDetector.delay_offsets)
-    opl_ref, delay_offsets = chief_ray_refs(
-        spec, elements, det_centre, det_normal, distances, opl_ref
+    mom = pallas_source_detector_moments(
+        spec, elements, n_rays, det_centre, det_normal, det_rot,
+        opl_ref=opl_ref, gaussian_edge=gaussian_edge, block_rows=block_rows,
+        phase=phase, k_frac=k_frac, n_total=n_total,
+        ignore_defects=ignore_defects,
+    )
+    sums = moments_to_distance_sums(mom["moments"], distances)
+    w = np.maximum(sums["w"], 1e-30)
+    mean_x, mean_y = sums["wx"] / w, sums["wy"] / w
+    var_x = np.maximum(sums["wxx"] / w - mean_x**2, 0.0)
+    var_y = np.maximum(sums["wyy"] / w - mean_y**2, 0.0)
+    mean_d = sums["wd"] / w
+    var_d = np.maximum(sums["wdd"] / w - mean_d**2, 0.0)
+    to_fs = 1e15 / LIGHT_SPEED_MM_S
+    return {
+        "spot_sd": np.sqrt(var_x + var_y),
+        "duration_sd": np.sqrt(var_d) * to_fs,
+        "mean_x": mean_x,
+        "mean_y": mean_y,
+        "mean_delay": mean_d * to_fs,  # relative to opl_ref, [fs]
+        "sum_w": sums["w"],
+        "opl_ref": mom["opl_ref"],
+        "distances": np.asarray(distances, np.float64),
+    }
+
+
+def pallas_source_detector_moments(
+    spec: BakedSource,
+    elements,
+    n_rays: int,
+    det_centre,
+    det_normal,
+    det_rot,
+    opl_ref: float | None = None,
+    gaussian_edge: float | None = None,
+    block_rows: int = BLOCK_ROWS,
+    phase=0.0,
+    k_frac=0.0,
+    n_total: int | None = None,
+    ignore_defects: bool = True,
+):
+    """The 16 distance-independent weighted moments (:data:`MOMENT_FIELDS`,
+    float64) of the traced bundle on the detector plane — the complete
+    description of every per-distance statistic as an exact quadratic in the
+    scan distance (the alive mask cannot depend on the detector distance, so
+    the quadratics hold GLOBALLY, not as local approximations). One kernel
+    pass; chunked beyond 2^23 rays. Returns ``{"moments", "opl_ref",
+    "inv_dn_chief"}``."""
+    # chief-ray reference path + inverse-approach-rate constant: keep the
+    # in-kernel delay moments fs-scale (see moment_rows)
+    opl_ref, _delay_offsets, inv_dn_chief = chief_ray_refs(
+        spec, elements, det_centre, det_normal, (0.0,), opl_ref
     )
 
     det = bake_detector(elements, det_centre, det_normal, det_rot,
-                        distances=distances, opl_ref=opl_ref,
-                        delay_offsets=delay_offsets)
+                        opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
     baked, maps, final, premasks = _source_maps(spec, elements)
     interpret = jax.default_backend() == "cpu"
-    J = len(distances)
     n_total = n_total or n_rays
 
     # chunk the ray range so per-kernel float indices stay exact (< 2^24):
@@ -799,15 +1004,15 @@ def pallas_source_detector_stats(
 
     @partial(jax.jit, static_argnames=("n_local", "rows"))
     def _chunk(phase_i, k_frac_i, n_local, rows):
-        outs = _pallas_source_stats_padded(
+        out = _pallas_source_moments_padded(
             phase_i, k_frac_i, spec, baked, maps, final, premasks, det,
             block_rows, interpret, n_local, n_total, rows, gaussian_edge,
             ignore_defects,
         )
-        # reduce the per-program partials ON DEVICE: only (n_stats, 128)
-        # floats leave the chip per chunk (a billion-ray scan would
-        # otherwise fetch ~GBs of partial blocks)
-        return jnp.stack([o.sum(axis=0) for o in outs])
+        # reduce the per-program partials ON DEVICE: only one (128,) moment
+        # row leaves the chip per chunk (a billion-ray scan would otherwise
+        # fetch ~GBs of partial blocks)
+        return out.sum(axis=0)
 
     # cap on consecutive f32 partial-sum adds: per-chunk sums stay < 2^23, so
     # within a group the accumulator magnitude stays < 2^28 and the relative
@@ -829,14 +1034,10 @@ def pallas_source_detector_stats(
             rows_i = _chunk(phases_arr[i], kfracs_arr[i], n_local, rows)
             return acc.at[i // GROUP].add(rows_i)
 
-        init = jnp.zeros((n_groups, len(STATS_FIELDS), LANES), jnp.float32)
+        init = jnp.zeros((n_groups, LANES), jnp.float32)
         return jax.lax.fori_loop(0, n_chunks, body, init)
 
-    sums = {name: np.zeros(J, np.float64) for name in STATS_FIELDS}
-
-    def _accumulate(rows_chunk):
-        for i, name in enumerate(STATS_FIELDS):
-            sums[name] += rows_chunk[i, :J]
+    moments = np.zeros(LANES, np.float64)
 
     full = [c for c in chunks if c[0] == CHUNK]
     rest = [c for c in chunks if c[0] != CHUNK]
@@ -848,31 +1049,19 @@ def pallas_source_detector_stats(
             _chunks_fused(phases_arr, kfracs_arr, CHUNK, n_pad // LANES),
             np.float64,
         )
-        _accumulate(groups.sum(axis=0))  # float64 cross-group reduction
+        moments += groups.sum(axis=0)  # float64 cross-group reduction
         rest = rest or []
     else:
         rest = chunks
     for n_local, phase_i, k_frac_i in rest:
         n_pad = ((n_local + tile - 1) // tile) * tile
-        _accumulate(np.asarray(
+        moments += np.asarray(
             _chunk(phase_i, k_frac_i, n_local, n_pad // LANES), np.float64
-        ))
-    w = np.maximum(sums["w"], 1e-30)
-    mean_x, mean_y = sums["wx"] / w, sums["wy"] / w
-    var_x = np.maximum(sums["wxx"] / w - mean_x**2, 0.0)
-    var_y = np.maximum(sums["wyy"] / w - mean_y**2, 0.0)
-    mean_d = sums["wd"] / w
-    var_d = np.maximum(sums["wdd"] / w - mean_d**2, 0.0)
-    to_fs = 1e15 / LIGHT_SPEED_MM_S
+        )
     return {
-        "spot_sd": np.sqrt(var_x + var_y),
-        "duration_sd": np.sqrt(var_d) * to_fs,
-        "mean_x": mean_x,
-        "mean_y": mean_y,
-        "mean_delay": mean_d * to_fs,  # relative to opl_ref, [fs]
-        "sum_w": sums["w"],
+        "moments": moments[: len(MOMENT_FIELDS)],
         "opl_ref": opl_ref,
-        "distances": np.asarray(distances, np.float64),
+        "inv_dn_chief": inv_dn_chief,
     }
 
 

@@ -205,38 +205,37 @@ def source_stats_sharded(
     n_local, phases, k_fracs = shard_source_offsets(n_total, n_dev)
 
     # identical baking as the single-device wrapper (chief-ray refs included,
-    # with the no-surviving-probe guard)
-    opl_ref, delay_offsets = pt.chief_ray_refs(
+    # with the no-surviving-probe guard); the moment epilogue makes the
+    # kernel J-independent — any number of distances, evaluated in f64 below
+    opl_ref, _delay_offsets, inv_dn_chief = pt.chief_ray_refs(
         spec, elements, det_centre, det_normal, distances
     )
     det = pt.bake_detector(elements, det_centre, det_normal, det_rot,
-                           distances=distances, opl_ref=opl_ref,
-                           delay_offsets=delay_offsets)
+                           opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
     baked, maps, final, premasks = pt._source_maps(spec, elements)
     tile = pt.BLOCK_ROWS * pt.LANES
     n_pad = ((n_local + tile - 1) // tile) * tile
     interpret = jax.default_backend() == "cpu"
 
     def local(phase, k_frac):
-        outs = pt._pallas_source_stats_padded(
+        out = pt._pallas_source_moments_padded(
             phase[0], k_frac[0], spec, baked, maps, final, premasks, det,
             pt.BLOCK_ROWS, interpret, n_local, n_total, n_pad // pt.LANES,
             gaussian_edge,
         )
-        # per-device partial reduction: ship one (8, 128) block per stat
-        return tuple(o.sum(axis=0, keepdims=True) for o in outs)
+        # per-device partial reduction: ship one (1, 128) moment row
+        return out.sum(axis=0, keepdims=True)
 
     sharded = shard_map(
         local, mesh=mesh,
         in_specs=(P("rays"), P("rays")),
-        out_specs=tuple(P("rays", None) for _ in pt.STATS_FIELDS),
+        out_specs=P("rays", None),
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     outs = sharded(phases, k_fracs)
 
-    J = len(distances)
-    sums = {name: np.asarray(o, np.float64).sum(axis=0)[:J]
-            for name, o in zip(pt.STATS_FIELDS, outs)}
+    moments = np.asarray(outs, np.float64).sum(axis=0)[: len(pt.MOMENT_FIELDS)]
+    sums = pt.moments_to_distance_sums(moments, distances)
     w = np.maximum(sums["w"], 1e-30)
     mean_x, mean_y = sums["wx"] / w, sums["wy"] / w
     var_x = np.maximum(sums["wxx"] / w - mean_x**2, 0.0)

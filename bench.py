@@ -243,25 +243,26 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
     det = Detector(np.zeros(3))
     det.autoplace(_trace(probe, elements, keep_history=False), 500.0)
     distances = tuple(np.linspace(-10.0, 10.0, 20))
-    opl_ref, delay_offsets = pt.chief_ray_refs(
+    opl_ref, _offsets, inv_dn_chief = pt.chief_ray_refs(
         spec, elements, det.centre, det.normal, distances)
     det_b = pt.bake_detector(elements, det.centre, det.normal,
-                             det._plane_rotation(), distances,
-                             opl_ref=opl_ref, delay_offsets=delay_offsets)
+                             det._plane_rotation(),
+                             opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
     baked_f, maps_f, final_f, premasks_f = pt._source_maps(spec, elements)
     n_pad_s = ((n_rays + tile - 1) // tile) * tile
 
     @partial(jax.jit, static_argnames=("reps",))
     def step_scan(phase, reps: int):
+        # moment epilogue: one pass yields the stats of ANY number of scan
+        # distances (the 20 in the metric name are evaluated host-side)
         acc = jnp.asarray(0.0, jnp.float32)
         for i in range(reps):
-            outs = pt._pallas_source_stats_padded(
+            out = pt._pallas_source_moments_padded(
                 phase + i * 1e-7, jnp.float32(0.0), spec, baked_f, maps_f,
                 final_f, premasks_f, det_b, pt.BLOCK_ROWS,
                 jax.default_backend() == "cpu", n_rays, n_rays,
                 n_pad_s // pt.LANES, None)
-            for o in outs:
-                acc = acc + o.sum()
+            acc = acc + out.sum()
         return acc
 
     results = {}

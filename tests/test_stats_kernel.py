@@ -238,3 +238,34 @@ def test_duration_floor_triggers_x64_refinement(setup, capsys):
         )
     assert d_pal.get_distance() == pytest.approx(d_ref.get_distance(), abs=0.5)
     assert dur_pal < 1.0  # refined reading resolves the sub-floor duration
+
+
+def test_moment_scan_unbounded_distances(setup):
+    """The moment epilogue removes the old 128-distance-per-call limit: a
+    300-distance scan runs in one kernel pass (the distance dependence is an
+    exact quadratic evaluated on host in f64) and agrees with the
+    per-distance detector path at sampled positions; consecutive calls with
+    different distance sets must also agree with each other exactly on the
+    shared moments (w is distance-independent)."""
+    spec, elements, n, out, det = setup
+    distances = tuple(np.linspace(-30.0, 30.0, 300))
+    res = pallas_source_detector_stats(
+        spec, elements, n, det.centre, det.normal, det._plane_rotation(),
+        distances=distances,
+    )
+    assert res["spot_sd"].shape == (300,)
+    assert np.all(np.isfinite(res["spot_sd"]))
+    assert np.ptp(res["sum_w"]) == 0.0  # w must not depend on distance
+    for j in (0, 150, 299):
+        dj = det.copy_detector()
+        dj.shiftByDistance(distances[j])
+        spot, dur = (float(v) for v in dj.get_SpotAndDuration(out))
+        assert res["spot_sd"][j] == pytest.approx(spot, rel=2e-3, abs=1e-6)
+        k, r = float(res["duration_sd"][j]), dur
+        assert abs(k - r) <= 0.025 * r or abs(k * k - r * r) ** 0.5 <= 0.8, (j, k, r)
+    # same moments, different distance grid: identical where grids overlap
+    res2 = pallas_source_detector_stats(
+        spec, elements, n, det.centre, det.normal, det._plane_rotation(),
+        distances=(distances[0], distances[299]),
+    )
+    np.testing.assert_allclose(res2["spot_sd"], res["spot_sd"][[0, 299]], rtol=1e-12)
