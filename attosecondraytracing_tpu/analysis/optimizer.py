@@ -130,6 +130,46 @@ def FindOptimalDistance(
     return det, opt_spot, opt_duration
 
 
+def _probe_focus_estimate(bundle, det, amplitude):
+    """Rough focal shift [mm, shiftByDistance convention] from a small traced
+    probe bundle: closed-form minimum of the host-float64 spot variance of
+    the exact per-ray linear impact model ``x(d) = x0 - d*cx`` (a global
+    quadratic in d). Only used to centre the fused kernel's moment expansion
+    point near the focus; a few-percent error is irrelevant there."""
+    alive = np.asarray(bundle.alive)
+    if not alive.any():
+        return 0.0
+    p = np.asarray(bundle.p, np.float64)[alive]
+    dvec = np.asarray(bundle.d, np.float64)[alive]
+    n = np.asarray(det.normal, np.float64)
+    c = np.asarray(det.centre, np.float64)
+    rot = np.asarray(det._plane_rotation(), np.float64)
+    e1, e2 = rot[0], rot[1]
+    dn = dvec @ n
+    ok = np.abs(dn) > 1e-12
+    if not ok.any():
+        return 0.0
+    p, dvec, dn = p[ok], dvec[ok], dn[ok]
+    inv_dn = 1.0 / dn
+    t0 = ((c - p) @ n) * inv_dn
+    x0 = (p - c) @ e1 + t0 * (dvec @ e1)
+    y0 = (p - c) @ e2 + t0 * (dvec @ e2)
+    cx = inv_dn * (dvec @ e1)
+    cy = inv_dn * (dvec @ e2)
+
+    # var(x0 - d cx) + var(y0 - d cy) = A d^2 + B d + C: closed-form minimum
+    def _terms(a, b):
+        am, bm = a.mean(), b.mean()
+        return np.mean((b - bm) ** 2), -2.0 * np.mean((a - am) * (b - bm))
+
+    Ax, Bx = _terms(x0, cx)
+    Ay, By = _terms(y0, cy)
+    A, B = Ax + Ay, Bx + By
+    if A <= 0.0:
+        return 0.0
+    return float(np.clip(-B / (2.0 * A), -amplitude, amplitude))
+
+
 def FindOptimalDistancePallas(
     spec,
     elements,
@@ -154,19 +194,18 @@ def FindOptimalDistancePallas(
     ``spec`` is an ops.pallas_trace.BakedSource; ``Detector`` supplies the
     starting plane; ``Amplitude`` bounds the search window (auto-sized from
     spot and NA like the reference); ``Precision`` sets the host
-    minimization grid (10**(Precision+2) points — resolution far beyond the
-    reference's final refinement step, at zero device cost). Gaussian source
-    weighting via ``gaussian_edge``. Duration readings carry the stats
-    kernel's ~0.6 fs float32 noise floor.
+    minimization grid, capped at ~2e5 points (resolution amplitude*1e-5 —
+    beyond the reference's final refinement step for any Precision, at zero
+    device cost and bounded memory). A cheap probe trace pre-locates the
+    focus so the kernel's moment expansion point sits near it (squaring
+    multi-mm off-focus coordinates in float32 would bury the focal-plane
+    variance — see ops.pallas_trace.moment_rows). Gaussian source weighting
+    via ``gaussian_edge``. Duration readings carry the stats kernel's
+    ~0.6 fs float32 noise floor.
 
     Returns (optimal Detector copy, spot SD [mm], duration SD [fs]).
     """
-    from ..ops.pallas_trace import (
-        moments_to_distance_sums,
-        pallas_source_detector_moments,
-        source_bundle,
-    )
-    from ..ops.precision import LIGHT_SPEED_MM_S
+    from ..ops.pallas_trace import pallas_source_detector_stats, source_bundle
     from ..ops.trace import trace
 
     if OptFor not in _OPTFOR_ALIASES:
@@ -177,9 +216,9 @@ def FindOptimalDistancePallas(
 
     det = Detector.copy_detector()
     first_distance = det.get_distance()
+    probe = source_bundle(spec, min(n_rays, 4096))
+    out = trace(probe, elements, keep_history=False)
     if Amplitude is None:
-        probe = source_bundle(spec, min(n_rays, 4096))
-        out = trace(probe, elements, keep_history=False)
         xy = det.get_PointList2D(out)
         w = out.alive.astype(xy.dtype)
         size_spot = 2.0 * float(stats.std_points(xy, w))
@@ -187,23 +226,20 @@ def FindOptimalDistancePallas(
         Amplitude = min(4 * np.ceil(size_spot / np.tan(np.arcsin(min(na, 1.0)))), first_distance)
     amplitude = float(Amplitude)
 
+    # probe-based focus pre-estimate = the kernel's moment expansion point:
+    # host float64 evaluation of the same exact quadratics on ~4k rays
+    d_centre = float(_probe_focus_estimate(out, det, amplitude))
+
     rot = det._plane_rotation()
-    mom = pallas_source_detector_moments(
-        spec, elements, n_rays, det.centre, det.normal, rot,
-        gaussian_edge=gaussian_edge,
-    )
-    # dense float64 minimization of the exact-quadratic statistics: finer
-    # than the reference's last refinement step (amplitude*0.1^Precision/10)
-    n_grid = int(10 ** (Precision + 2)) + 1
+    n_grid = min(int(10 ** (Precision + 2)), 200_000) + 1
     shifts = np.linspace(-amplitude, amplitude, n_grid)
-    sums = moments_to_distance_sums(mom["moments"], shifts)
-    w = np.maximum(sums["w"], 1e-30)
-    var_x = np.maximum(sums["wxx"] / w - (sums["wx"] / w) ** 2, 0.0)
-    var_y = np.maximum(sums["wyy"] / w - (sums["wy"] / w) ** 2, 0.0)
-    var_d = np.maximum(sums["wdd"] / w - (sums["wd"] / w) ** 2, 0.0)
-    to_fs = 1e15 / LIGHT_SPEED_MM_S
-    spot_sd = np.sqrt(var_x + var_y)
-    duration_sd = np.sqrt(var_d) * to_fs
+    res = pallas_source_detector_stats(
+        spec, elements, n_rays, det.centre, det.normal, rot,
+        distances=shifts, gaussian_edge=gaussian_edge,
+        centre_distance=d_centre,
+    )
+    spot_sd = res["spot_sd"]
+    duration_sd = res["duration_sd"]
     if opt_for == "intensity":
         fitness = spot_sd**2 * duration_sd
     elif opt_for == "duration":

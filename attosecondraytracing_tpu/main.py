@@ -150,9 +150,11 @@ def _fused_optimizer_available(chain: OpticalChain) -> bool:
 
 def optimize_detector_fused(chain: OpticalChain, detector: Detector,
                             DetectorOptions: dict, verbose: bool = True):
-    """Detector-distance optimization through the fused source->trace->stats
-    kernel (FindOptimalDistancePallas): one kernel pass per refinement level,
-    over the full bundle — no per-ray data ever reaches HBM or the host."""
+    """Detector-distance optimization through the fused source->trace->moments
+    kernel (FindOptimalDistancePallas): ONE kernel pass over the full bundle
+    yields every candidate distance's statistics as exact quadratics, the
+    minimization runs on the host in float64 — no per-ray data ever reaches
+    HBM or the host."""
     from .analysis.optimizer import FindOptimalDistancePallas
 
     spec = chain.source_spec

@@ -624,16 +624,23 @@ MOMENT_FIELDS = (
 )
 
 
-def moment_rows(s: TraceState, det: BakedDetector, weights):
+def moment_rows(s: TraceState, det: BakedDetector, weights,
+                centre_distance=0.0):
     """One (8, LANES) block whose row 0 holds this program's 16 weighted
     moment partial sums (lane m = MOMENT_FIELDS[m]).
 
-    Conditioning: ``d0`` is the distance-0 delay relative to the chief ray
-    (fs-scale, as in stats_rows), and ``cd = inv_dn - inv_dn_chief`` is the
-    *deviation* of the ray's inverse plane-approach rate from the chief
-    ray's — the exact per-ray equivalent of stats_rows' per-distance
-    ``delay_offsets`` subtraction, so no moment ever squares an mm-scale
-    number."""
+    Conditioning: ``d0`` is the delay relative to the chief ray (fs-scale, as
+    in stats_rows), ``cd = inv_dn - inv_dn_chief`` the *deviation* of the
+    ray's inverse plane-approach rate from the chief ray's (the exact per-ray
+    equivalent of stats_rows' per-distance ``delay_offsets`` subtraction), so
+    no delay moment ever squares an mm-scale number. The spot moments square
+    the impact coordinates AT THE EXPANSION POINT ``centre_distance`` [mm, a
+    runtime scalar — shiftByDistance convention]: pass a point near the focus
+    (e.g. from a cheap probe estimate) when the d=0 plane is far from it —
+    squaring multi-mm off-focus coordinates in the f32 accumulator would
+    otherwise bury the µm-scale focal variance in reconstruction
+    cancellation. Host-side evaluation must use distances RELATIVE to the
+    same expansion point (moments_to_distance_sums' ``centre_distance``)."""
     w = jnp.where(s.alive, weights, 0.0)
     c, n = det.centre, det.normal
     dn = s.dx * n[0] + s.dy * n[1] + s.dz * n[2]
@@ -641,7 +648,7 @@ def moment_rows(s: TraceState, det: BakedDetector, weights):
     # ~500 mm leg would add ~0.4 fs of per-ray delay noise
     inv_dn = 1.0 / jnp.where(jnp.abs(dn) > 1e-30, dn, jnp.inf)
     b0 = (c[0] - s.px) * n[0] + (c[1] - s.py) * n[1] + (c[2] - s.pz) * n[2]
-    t0 = b0 * inv_dn
+    t0 = (b0 - centre_distance) * inv_dn  # leg to the d_c-shifted plane
     a1 = (s.px - c[0]) * det.e1[0] + (s.py - c[1]) * det.e1[1] + (s.pz - c[2]) * det.e1[2]
     a2 = (s.px - c[0]) * det.e2[0] + (s.py - c[1]) * det.e2[1] + (s.pz - c[2]) * det.e2[2]
     g1 = s.dx * det.e1[0] + s.dy * det.e1[1] + s.dz * det.e1[2]
@@ -651,7 +658,7 @@ def moment_rows(s: TraceState, det: BakedDetector, weights):
     cx = inv_dn * g1
     cy = inv_dn * g2
     cd = inv_dn - det.inv_dn_chief
-    d0 = (s.opl - det.opl_ref) - s.opl_c + t0
+    d0 = (s.opl - det.opl_ref) - s.opl_c + t0 + centre_distance * det.inv_dn_chief
     vals = {
         "w": w, "x0": w * x0, "y0": w * y0, "d0": w * d0,
         "cx": w * cx, "cy": w * cy, "cd": w * cd,
@@ -667,14 +674,16 @@ def moment_rows(s: TraceState, det: BakedDetector, weights):
     return out
 
 
-def moments_to_distance_sums(moments, distances):
+def moments_to_distance_sums(moments, distances, centre_distance=0.0):
     """Per-distance weighted sums (stats_rows'/STATS_FIELDS' semantics) from
     the 16 moment sums, evaluated in float64 for arbitrarily many distances.
 
     ``moments``: (16,) array-like in MOMENT_FIELDS order (already reduced
-    over programs/chunks/devices). Returns a dict of (J,) float64 arrays."""
+    over programs/chunks/devices); ``centre_distance`` must equal the
+    expansion point the moments were accumulated about (moment_rows).
+    Returns a dict of (J,) float64 arrays."""
     m = {name: np.float64(v) for name, v in zip(MOMENT_FIELDS, np.asarray(moments, np.float64))}
-    d = np.asarray(distances, np.float64)
+    d = np.asarray(distances, np.float64) - float(centre_distance)
     return {
         "w": np.broadcast_to(m["w"], d.shape).copy(),
         "wx": m["x0"] - d * m["cx"],
@@ -730,9 +739,13 @@ def chief_ray_refs(spec: BakedSource, elements, det_centre, det_normal,
     return float(opl_ref), delay_offsets, float(1.0 / dn)
 
 
-def _kernel_source_stats(scalars, *outs, source, elements, maps, final,
-                         premasks, det, n_rays, n_total, block_rows,
-                         gaussian_edge, ignore_defects):
+def _synth_traced_state(scalars, source, elements, maps, premasks, n_rays,
+                        n_total, block_rows, gaussian_edge, ignore_defects):
+    """Shared stats/moments kernel preamble: synthesize the Vogel source from
+    the ray index (scalars[0]=spiral phase, scalars[1]=k_frac), apply the
+    Gaussian weight profile (`gaussian_edge` at the spiral rim —
+    ApplyGaussianIntensityToRayList, ART/ModuleSource.py:219-261), and trace
+    the chain in chained-frame mode. Returns (traced state, weights)."""
     shape = (block_rows, LANES)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -751,8 +764,6 @@ def _kernel_source_stats(scalars, *outs, source, elements, maps, final,
     if gaussian_edge is None:
         weights = ones
     else:
-        # Gaussian profile, `gaussian_edge` at the spiral rim
-        # (ApplyGaussianIntensityToRayList, ART/ModuleSource.py:219-261)
         rr = (cx * cx + cy * cy) * (1.0 / source.radius**2)
         weights = jnp.exp(float(np.log(gaussian_edge)) * rr)
     s = TraceState(
@@ -765,6 +776,15 @@ def _kernel_source_stats(scalars, *outs, source, elements, maps, final,
         # incidence is never observed by the statistics: skip it everywhere
         s = chained_step(el, M, b, s, want_incidence=False,
                          ignore_defects=ignore_defects, premasks=pre)
+    return s, weights
+
+
+def _kernel_source_stats(scalars, *outs, source, elements, maps, final,
+                         premasks, det, n_rays, n_total, block_rows,
+                         gaussian_edge, ignore_defects):
+    s, weights = _synth_traced_state(
+        scalars, source, elements, maps, premasks, n_rays, n_total,
+        block_rows, gaussian_edge, ignore_defects)
     _stats_epilogue(s, det, weights, outs, block_rows)
 
 
@@ -805,52 +825,28 @@ def _pallas_source_stats_padded(phase, k_frac, source, elements, maps, final,
 def _kernel_source_moments(scalars, out, *, source, elements, maps, final,
                            premasks, det, n_rays, n_total, block_rows,
                            gaussian_edge, ignore_defects):
-    shape = (block_rows, LANES)
-    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    idx = (pl.program_id(0) * block_rows + rows) * LANES + lanes
-    kf = idx.astype(jnp.float32)
-    cx, cy = _vogel_xy_c(kf, n_total, source.radius, scalars[0], scalars[1])
-    zeros = jnp.zeros(shape, dtype=jnp.float32)
-    ones = jnp.ones(shape, dtype=jnp.float32)
-    if source.kind == "cone":
-        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-        px, py, pz = zeros, zeros, zeros
-        dx, dy, dz = cx * inv, cy * inv, inv
-    else:
-        px, py, pz = cx, cy, zeros
-        dx, dy, dz = zeros, zeros, ones
-    if gaussian_edge is None:
-        weights = ones
-    else:
-        rr = (cx * cx + cy * cy) * (1.0 / source.radius**2)
-        weights = jnp.exp(float(np.log(gaussian_edge)) * rr)
-    s = TraceState(
-        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
-        opl=zeros, opl_c=zeros,
-        alive=idx < n_rays,
-        incidence=zeros,
-    )
-    for el, (M, b), pre in zip(elements, maps, premasks):
-        s = chained_step(el, M, b, s, want_incidence=False,
-                         ignore_defects=ignore_defects, premasks=pre)
-    out[:] = moment_rows(s, det, weights)
+    s, weights = _synth_traced_state(
+        scalars, source, elements, maps, premasks, n_rays, n_total,
+        block_rows, gaussian_edge, ignore_defects)
+    # scalars[2]: runtime expansion point d_c [mm] (see moment_rows)
+    out[:] = moment_rows(s, det, weights, centre_distance=scalars[2])
 
 
 @partial(jax.jit, static_argnames=("source", "elements", "maps", "final",
                                    "premasks", "det", "block_rows", "interpret",
                                    "n_rays", "n_total", "rows", "gaussian_edge",
                                    "ignore_defects"))
-def _pallas_source_moments_padded(phase, k_frac, source, elements, maps, final,
-                                  premasks, det, block_rows, interpret, n_rays,
-                                  n_total, rows, gaussian_edge,
-                                  ignore_defects=True):
+def _pallas_source_moments_padded(phase, k_frac, centre_distance, source,
+                                  elements, maps, final, premasks, det,
+                                  block_rows, interpret, n_rays, n_total, rows,
+                                  gaussian_edge, ignore_defects=True):
     """Fused source->trace->MOMENT epilogue: one (n_programs*8, LANES) block
-    whose row 8i holds program i's 16 distance-independent moment sums. The
+    whose row 8i holds program i's 16 distance-independent moment sums,
+    accumulated about the runtime expansion point ``centre_distance``. The
     per-distance statistics for ANY number of scan distances follow on the
     host (:func:`moments_to_distance_sums`) — the kernel cost is
-    J-independent, and the scan distances are runtime values (re-baking the
-    detector distances no longer recompiles)."""
+    J-independent, and the scan distances AND expansion point are runtime
+    values (re-baking them never recompiles)."""
     if n_rays >= 1 << 24:
         raise ValueError("per-call ray count must stay < 2^24 (float index "
                          "exactness); chunk or shard larger ranges")
@@ -870,7 +866,8 @@ def _pallas_source_moments_padded(phase, k_frac, source, elements, maps, final,
         out_shape=jax.ShapeDtypeStruct((n_programs * 8, LANES), jnp.float32),
         interpret=interpret,
     )(jnp.stack([jnp.asarray(phase, jnp.float32),
-                 jnp.asarray(k_frac, jnp.float32)]))
+                 jnp.asarray(k_frac, jnp.float32),
+                 jnp.asarray(centre_distance, jnp.float32)]))
 
 
 def pallas_source_detector_stats(
@@ -888,6 +885,7 @@ def pallas_source_detector_stats(
     k_frac=0.0,
     n_total: int | None = None,
     ignore_defects: bool = True,
+    centre_distance: float = 0.0,
 ):
     """Whole production pipeline in ONE kernel pass: synthesize the source,
     trace the chain, project onto the detector plane at every scan distance,
@@ -924,9 +922,19 @@ def pallas_source_detector_stats(
         spec, elements, n_rays, det_centre, det_normal, det_rot,
         opl_ref=opl_ref, gaussian_edge=gaussian_edge, block_rows=block_rows,
         phase=phase, k_frac=k_frac, n_total=n_total,
-        ignore_defects=ignore_defects,
+        ignore_defects=ignore_defects, centre_distance=centre_distance,
     )
-    sums = moments_to_distance_sums(mom["moments"], distances)
+    sums = moments_to_distance_sums(mom["moments"], distances,
+                                    mom["centre_distance"])
+    return sums_to_stats(sums, mom["opl_ref"], distances)
+
+
+def sums_to_stats(sums, opl_ref, distances):
+    """Per-distance statistics dict from STATS_FIELDS weighted sums — the
+    single definition shared by the single-device and sharded stats paths
+    (means, clamped variances, fs conversion)."""
+    from .precision import LIGHT_SPEED_MM_S
+
     w = np.maximum(sums["w"], 1e-30)
     mean_x, mean_y = sums["wx"] / w, sums["wy"] / w
     var_x = np.maximum(sums["wxx"] / w - mean_x**2, 0.0)
@@ -941,7 +949,7 @@ def pallas_source_detector_stats(
         "mean_y": mean_y,
         "mean_delay": mean_d * to_fs,  # relative to opl_ref, [fs]
         "sum_w": sums["w"],
-        "opl_ref": mom["opl_ref"],
+        "opl_ref": opl_ref,
         "distances": np.asarray(distances, np.float64),
     }
 
@@ -960,6 +968,7 @@ def pallas_source_detector_moments(
     k_frac=0.0,
     n_total: int | None = None,
     ignore_defects: bool = True,
+    centre_distance: float = 0.0,
 ):
     """The 16 distance-independent weighted moments (:data:`MOMENT_FIELDS`,
     float64) of the traced bundle on the detector plane — the complete
@@ -967,7 +976,15 @@ def pallas_source_detector_moments(
     scan distance (the alive mask cannot depend on the detector distance, so
     the quadratics hold GLOBALLY, not as local approximations). One kernel
     pass; chunked beyond 2^23 rays. Returns ``{"moments", "opl_ref",
-    "inv_dn_chief"}``."""
+    "inv_dn_chief", "centre_distance"}``.
+
+    ``centre_distance`` [mm, shiftByDistance convention, runtime — no
+    recompile] sets the expansion point the spot moments are squared about:
+    pass a focus estimate when the d=0 plane is far off-focus, or the f32
+    accumulator buries the focal-plane variance (see moment_rows). It is
+    quantized to float32 so host reconstruction matches the kernel exactly;
+    the quantized value is returned."""
+    centre_distance = float(np.float32(centre_distance))
     # chief-ray reference path + inverse-approach-rate constant: keep the
     # in-kernel delay moments fs-scale (see moment_rows)
     opl_ref, _delay_offsets, inv_dn_chief = chief_ray_refs(
@@ -1005,9 +1022,9 @@ def pallas_source_detector_moments(
     @partial(jax.jit, static_argnames=("n_local", "rows"))
     def _chunk(phase_i, k_frac_i, n_local, rows):
         out = _pallas_source_moments_padded(
-            phase_i, k_frac_i, spec, baked, maps, final, premasks, det,
-            block_rows, interpret, n_local, n_total, rows, gaussian_edge,
-            ignore_defects,
+            phase_i, k_frac_i, centre_distance, spec, baked, maps, final,
+            premasks, det, block_rows, interpret, n_local, n_total, rows,
+            gaussian_edge, ignore_defects,
         )
         # reduce the per-program partials ON DEVICE: only one (128,) moment
         # row leaves the chip per chunk (a billion-ray scan would otherwise
@@ -1062,6 +1079,7 @@ def pallas_source_detector_moments(
         "moments": moments[: len(MOMENT_FIELDS)],
         "opl_ref": opl_ref,
         "inv_dn_chief": inv_dn_chief,
+        "centre_distance": centre_distance,
     }
 
 

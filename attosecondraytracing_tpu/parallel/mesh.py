@@ -188,6 +188,7 @@ def source_stats_sharded(
     det_rot,
     distances=(0.0,),
     gaussian_edge: float | None = None,
+    centre_distance: float = 0.0,
 ):
     """Fused trace->detector-statistics over every device of a ('rays',)
     mesh: each device runs the zero-read stats kernel on its slice of the
@@ -208,8 +209,9 @@ def source_stats_sharded(
     # with the no-surviving-probe guard); the moment epilogue makes the
     # kernel J-independent — any number of distances, evaluated in f64 below
     opl_ref, _delay_offsets, inv_dn_chief = pt.chief_ray_refs(
-        spec, elements, det_centre, det_normal, distances
+        spec, elements, det_centre, det_normal, (0.0,)
     )
+    centre_distance = float(np.float32(centre_distance))
     det = pt.bake_detector(elements, det_centre, det_normal, det_rot,
                            opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
     baked, maps, final, premasks = pt._source_maps(spec, elements)
@@ -219,9 +221,9 @@ def source_stats_sharded(
 
     def local(phase, k_frac):
         out = pt._pallas_source_moments_padded(
-            phase[0], k_frac[0], spec, baked, maps, final, premasks, det,
-            pt.BLOCK_ROWS, interpret, n_local, n_total, n_pad // pt.LANES,
-            gaussian_edge,
+            phase[0], k_frac[0], centre_distance, spec, baked, maps, final,
+            premasks, det, pt.BLOCK_ROWS, interpret, n_local, n_total,
+            n_pad // pt.LANES, gaussian_edge,
         )
         # per-device partial reduction: ship one (1, 128) moment row
         return out.sum(axis=0, keepdims=True)
@@ -235,21 +237,5 @@ def source_stats_sharded(
     outs = sharded(phases, k_fracs)
 
     moments = np.asarray(outs, np.float64).sum(axis=0)[: len(pt.MOMENT_FIELDS)]
-    sums = pt.moments_to_distance_sums(moments, distances)
-    w = np.maximum(sums["w"], 1e-30)
-    mean_x, mean_y = sums["wx"] / w, sums["wy"] / w
-    var_x = np.maximum(sums["wxx"] / w - mean_x**2, 0.0)
-    var_y = np.maximum(sums["wyy"] / w - mean_y**2, 0.0)
-    mean_d = sums["wd"] / w
-    var_d = np.maximum(sums["wdd"] / w - mean_d**2, 0.0)
-    to_fs = 1e15 / LIGHT_SPEED_MM_S
-    return {
-        "spot_sd": np.sqrt(var_x + var_y),
-        "duration_sd": np.sqrt(var_d) * to_fs,
-        "mean_x": mean_x,
-        "mean_y": mean_y,
-        "mean_delay": mean_d * to_fs,
-        "sum_w": sums["w"],
-        "opl_ref": opl_ref,
-        "distances": np.asarray(distances, np.float64),
-    }
+    sums = pt.moments_to_distance_sums(moments, distances, centre_distance)
+    return pt.sums_to_stats(sums, opl_ref, distances)

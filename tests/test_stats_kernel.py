@@ -269,3 +269,43 @@ def test_moment_scan_unbounded_distances(setup):
         distances=(distances[0], distances[299]),
     )
     np.testing.assert_allclose(res2["spot_sd"], res["spot_sd"][[0, 299]], rtol=1e-12)
+
+
+def test_pallas_optimizer_far_off_focus_start():
+    """Regression (round-3 review): with the detector initially placed far
+    from the focus, the f32 moment accumulator must not bury the focal-plane
+    variance (multi-mm x0 spreads squared in-kernel) — the probe-based
+    expansion-point pre-centering keeps the moments small. The optimizer must
+    land on the same focus as when started near it."""
+    from attosecondraytracing_tpu.analysis.optimizer import (
+        FindOptimalDistancePallas,
+    )
+    from attosecondraytracing_tpu.models.detector import Detector as Det
+
+    focal, inc = 500.0, 80.0
+    R, r = mmirror.ReturnOptimalToroidalRadii(focal, inc)
+    tor = mmirror.MirrorToroidal(R, r, msupp.SupportRectangle(150, 32))
+    mask = mmask.Mask(msupp.SupportRoundHole(20, 7, 0, 0))
+    props = {"Divergence": 25e-3, "SourceSize": 0, "Wavelength": 80e-6,
+             "DeltaFT": 0.5, "NumberRays": 16}
+    chain = OEPlacement(props, [mask, tor, tor], [400, 100, 500],
+                        [0, inc, -inc], [0, 0, 0])
+    elements = [e.to_device(dtype=jnp.float32) for e in chain.optical_elements]
+    spec = make_source_spec("cone", np.zeros(3), np.array([1.0, 0, 0]), 25e-3)
+    src = source_bundle(spec, 60000, wavelength=80e-6)
+    out = trace(src, elements, keep_history=False)
+
+    # start 300 mm short of the 2f refocus: x0 spreads are ~7.5 mm
+    det_far = Det(np.zeros(3))
+    det_far.autoplace(out, focal - 300.0)
+    d_far, spot_far, _ = FindOptimalDistancePallas(
+        spec, elements, 60000, det_far, "spotsize", Amplitude=400.0)
+
+    det_near = Det(np.zeros(3))
+    det_near.autoplace(out, focal - 10.0)
+    d_near, spot_near, _ = FindOptimalDistancePallas(
+        spec, elements, 60000, det_near, "spotsize", Amplitude=30.0)
+
+    assert d_far.get_distance() == pytest.approx(d_near.get_distance(), abs=0.5)
+    assert spot_far == pytest.approx(spot_near, rel=0.1, abs=2e-4)
+    assert spot_far < 0.05  # mm: a real focus, not accumulator noise
