@@ -258,8 +258,8 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
         acc = jnp.asarray(0.0, jnp.float32)
         for i in range(reps):
             out = pt._pallas_source_moments_padded(
-                phase + i * 1e-7, jnp.float32(0.0), spec, baked_f, maps_f,
-                final_f, premasks_f, det_b, pt.BLOCK_ROWS,
+                phase + i * 1e-7, jnp.float32(0.0), jnp.float32(0.0), spec,
+                baked_f, maps_f, final_f, premasks_f, det_b, pt.BLOCK_ROWS,
                 jax.default_backend() == "cpu", n_rays, n_rays,
                 n_pad_s // pt.LANES, None)
             acc = acc + out.sum()
