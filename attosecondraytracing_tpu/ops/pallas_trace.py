@@ -782,6 +782,11 @@ def _synth_traced_state(scalars, source, elements, maps, premasks, n_rays,
 def _kernel_source_stats(scalars, *outs, source, elements, maps, final,
                          premasks, det, n_rays, n_total, block_rows,
                          gaussian_edge, ignore_defects):
+    """Legacy per-distance stats kernel (7 reductions x baked distance).
+    Superseded as the production scan path by the J-independent moment
+    kernel (_kernel_source_moments); kept as the comparison baseline for
+    scripts/bench_stats_kernel.py and as the J=1 epilogue reference that
+    ops/pallas_grad.py JVPs through (stats_rows)."""
     s, weights = _synth_traced_state(
         scalars, source, elements, maps, premasks, n_rays, n_total,
         block_rows, gaussian_edge, ignore_defects)
