@@ -66,6 +66,10 @@ from .trace import (
 LANES = 128
 BLOCK_ROWS = 64  # 8192 rays per grid program (fastest of 32..512 on v5e;
                  # re-swept after the chained-frame rework, scripts/bench_pallas_vs_xla.py)
+#: the trace->moments kernel writes no per-ray outputs (no output-pipelining
+#: pressure), so it prefers a larger block: 128 measured ~12% faster than 64
+#: (scripts/bench_moment_blocks.py, same-process down-up-down sweep on v5e)
+MOMENT_BLOCK_ROWS = 128
 
 
 def bake(x):
@@ -885,7 +889,7 @@ def pallas_source_detector_stats(
     distances=(0.0,),
     opl_ref: float | None = None,
     gaussian_edge: float | None = None,
-    block_rows: int = BLOCK_ROWS,
+    block_rows: int = MOMENT_BLOCK_ROWS,
     phase=0.0,
     k_frac=0.0,
     n_total: int | None = None,
@@ -968,7 +972,7 @@ def pallas_source_detector_moments(
     det_rot,
     opl_ref: float | None = None,
     gaussian_edge: float | None = None,
-    block_rows: int = BLOCK_ROWS,
+    block_rows: int = MOMENT_BLOCK_ROWS,
     phase=0.0,
     k_frac=0.0,
     n_total: int | None = None,

@@ -215,14 +215,14 @@ def source_stats_sharded(
     det = pt.bake_detector(elements, det_centre, det_normal, det_rot,
                            opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
     baked, maps, final, premasks = pt._source_maps(spec, elements)
-    tile = pt.BLOCK_ROWS * pt.LANES
+    tile = pt.MOMENT_BLOCK_ROWS * pt.LANES
     n_pad = ((n_local + tile - 1) // tile) * tile
     interpret = jax.default_backend() == "cpu"
 
     def local(phase, k_frac):
         out = pt._pallas_source_moments_padded(
             phase[0], k_frac[0], centre_distance, spec, baked, maps, final,
-            premasks, det, pt.BLOCK_ROWS, interpret, n_local, n_total,
+            premasks, det, pt.MOMENT_BLOCK_ROWS, interpret, n_local, n_total,
             n_pad // pt.LANES, gaussian_edge,
         )
         # per-device partial reduction: ship one (1, 128) moment row

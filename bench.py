@@ -249,7 +249,8 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
                              det._plane_rotation(),
                              opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
     baked_f, maps_f, final_f, premasks_f = pt._source_maps(spec, elements)
-    n_pad_s = ((n_rays + tile - 1) // tile) * tile
+    mtile = pt.MOMENT_BLOCK_ROWS * pt.LANES
+    n_pad_s = ((n_rays + mtile - 1) // mtile) * mtile
 
     @partial(jax.jit, static_argnames=("reps",))
     def step_scan(phase, reps: int):
@@ -259,9 +260,9 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
         for i in range(reps):
             out = pt._pallas_source_moments_padded(
                 phase + i * 1e-7, jnp.float32(0.0), jnp.float32(0.0), spec,
-                baked_f, maps_f, final_f, premasks_f, det_b, pt.BLOCK_ROWS,
-                jax.default_backend() == "cpu", n_rays, n_rays,
-                n_pad_s // pt.LANES, None)
+                baked_f, maps_f, final_f, premasks_f, det_b,
+                pt.MOMENT_BLOCK_ROWS, jax.default_backend() == "cpu",
+                n_rays, n_rays, n_pad_s // pt.LANES, None)
             acc = acc + out.sum()
         return acc
 
