@@ -130,17 +130,23 @@ def FindOptimalDistance(
     return det, opt_spot, opt_duration
 
 
-def _probe_focus_estimate(bundle, det, amplitude):
+def _probe_focus_estimate(bundle, det, amplitude, weights=None):
     """Rough focal shift [mm, shiftByDistance convention] from a small traced
     probe bundle: closed-form minimum of the host-float64 spot variance of
     the exact per-ray linear impact model ``x(d) = x0 - d*cx`` (a global
     quadratic in d). Only used to centre the fused kernel's moment expansion
-    point near the focus; a few-percent error is irrelevant there."""
+    point near the focus; a few-percent error is irrelevant there.
+
+    ``weights``: optional per-ray weights (e.g. the Gaussian source profile)
+    so the expansion point matches the intensity-weighted moments the fused
+    kernel accumulates."""
     alive = np.asarray(bundle.alive)
     if not alive.any():
         return 0.0
     p = np.asarray(bundle.p, np.float64)[alive]
     dvec = np.asarray(bundle.d, np.float64)[alive]
+    w = (np.ones(len(p)) if weights is None
+         else np.asarray(weights, np.float64)[alive])
     n = np.asarray(det.normal, np.float64)
     c = np.asarray(det.centre, np.float64)
     rot = np.asarray(det._plane_rotation(), np.float64)
@@ -149,7 +155,8 @@ def _probe_focus_estimate(bundle, det, amplitude):
     ok = np.abs(dn) > 1e-12
     if not ok.any():
         return 0.0
-    p, dvec, dn = p[ok], dvec[ok], dn[ok]
+    p, dvec, dn, w = p[ok], dvec[ok], dn[ok], w[ok]
+    wsum = max(w.sum(), 1e-300)
     inv_dn = 1.0 / dn
     t0 = ((c - p) @ n) * inv_dn
     x0 = (p - c) @ e1 + t0 * (dvec @ e1)
@@ -157,10 +164,11 @@ def _probe_focus_estimate(bundle, det, amplitude):
     cx = inv_dn * (dvec @ e1)
     cy = inv_dn * (dvec @ e2)
 
-    # var(x0 - d cx) + var(y0 - d cy) = A d^2 + B d + C: closed-form minimum
+    # var_w(x0 - d cx) + var_w(y0 - d cy) = A d^2 + B d + C: closed-form min
     def _terms(a, b):
-        am, bm = a.mean(), b.mean()
-        return np.mean((b - bm) ** 2), -2.0 * np.mean((a - am) * (b - bm))
+        am, bm = (w * a).sum() / wsum, (w * b).sum() / wsum
+        return ((w * (b - bm) ** 2).sum() / wsum,
+                -2.0 * (w * (a - am) * (b - bm)).sum() / wsum)
 
     Ax, Bx = _terms(x0, cx)
     Ay, By = _terms(y0, cy)
@@ -193,10 +201,11 @@ def FindOptimalDistancePallas(
 
     ``spec`` is an ops.pallas_trace.BakedSource; ``Detector`` supplies the
     starting plane; ``Amplitude`` bounds the search window (auto-sized from
-    spot and NA like the reference); ``Precision`` sets the host
-    minimization grid, capped at ~2e5 points (resolution amplitude*1e-5 —
-    beyond the reference's final refinement step for any Precision, at zero
-    device cost and bounded memory). A cheap probe trace pre-locates the
+    spot and NA like the reference); ``Precision`` sets the target grid
+    resolution ``Amplitude * 10^-(Precision+1)`` — the reference's final
+    refinement step — reached by zooming the *host-side* (free) quadratic
+    evaluation of the one moment pass, so any Precision costs zero extra
+    device work. A cheap probe trace pre-locates the
     focus so the kernel's moment expansion point sits near it (squaring
     multi-mm off-focus coordinates in float32 would bury the focal-plane
     variance — see ops.pallas_trace.moment_rows). Gaussian source weighting
@@ -205,7 +214,12 @@ def FindOptimalDistancePallas(
 
     Returns (optimal Detector copy, spot SD [mm], duration SD [fs]).
     """
-    from ..ops.pallas_trace import pallas_source_detector_stats, source_bundle
+    from ..ops.pallas_trace import (
+        moments_to_distance_sums,
+        pallas_source_detector_moments,
+        source_bundle,
+        sums_to_stats,
+    )
     from ..ops.trace import trace
 
     if OptFor not in _OPTFOR_ALIASES:
@@ -218,6 +232,14 @@ def FindOptimalDistancePallas(
     first_distance = det.get_distance()
     probe = source_bundle(spec, min(n_rays, 4096))
     out = trace(probe, elements, keep_history=False)
+    # probe weights = the same Gaussian-vs-spiral-radius profile the kernel
+    # applies, so both the auto-Amplitude and the expansion point match the
+    # weighted moments (source_bundle intensities are uniform)
+    if gaussian_edge is None:
+        probe_w = np.ones(out.n_rays)
+    else:
+        probe_w = np.exp(np.log(gaussian_edge)
+                         * np.arange(out.n_rays) / out.n_rays)
     if Amplitude is None:
         xy = det.get_PointList2D(out)
         w = out.alive.astype(xy.dtype)
@@ -228,28 +250,45 @@ def FindOptimalDistancePallas(
 
     # probe-based focus pre-estimate = the kernel's moment expansion point:
     # host float64 evaluation of the same exact quadratics on ~4k rays
-    d_centre = float(_probe_focus_estimate(out, det, amplitude))
+    d_centre = float(_probe_focus_estimate(out, det, amplitude, weights=probe_w))
 
     rot = det._plane_rotation()
-    n_grid = min(int(10 ** (Precision + 2)), 200_000) + 1
-    shifts = np.linspace(-amplitude, amplitude, n_grid)
-    res = pallas_source_detector_stats(
+    mom = pallas_source_detector_moments(
         spec, elements, n_rays, det.centre, det.normal, rot,
-        distances=shifts, gaussian_edge=gaussian_edge,
-        centre_distance=d_centre,
+        gaussian_edge=gaussian_edge, centre_distance=d_centre,
     )
-    spot_sd = res["spot_sd"]
-    duration_sd = res["duration_sd"]
-    if opt_for == "intensity":
-        fitness = spot_sd**2 * duration_sd
-    elif opt_for == "duration":
-        fitness = duration_sd
-    else:
-        fitness = spot_sd
-    ind = int(np.argmin(fitness))
-    base_shift = float(shifts[ind])
-    opt_spot = float(spot_sd[ind])
-    opt_duration = float(duration_sd[ind])
+
+    def _stats_at(shifts):
+        sums = moments_to_distance_sums(mom["moments"], shifts,
+                                        mom["centre_distance"])
+        return sums_to_stats(sums, mom["opl_ref"], shifts)
+
+    def _fitness_of(res):
+        if opt_for == "intensity":
+            return res["spot_sd"] ** 2 * res["duration_sd"]
+        if opt_for == "duration":
+            return res["duration_sd"]
+        return res["spot_sd"]
+
+    # grid-zoom the free host evaluation until the step reaches the
+    # reference's final refinement resolution amplitude*10^-(Precision+1)
+    # (each zoom brackets the previous argmin by +-1 step, as the reference's
+    # iterative refinement does)
+    target_step = amplitude * 10.0 ** (-(int(Precision) + 1))
+    lo, hi = -amplitude, amplitude
+    base_shift, opt_spot, opt_duration = 0.0, np.nan, np.nan
+    while True:
+        shifts = np.linspace(lo, hi, 2001)
+        res = _stats_at(shifts)
+        fitness = _fitness_of(res)
+        ind = int(np.argmin(fitness))
+        base_shift = float(shifts[ind])
+        opt_spot = float(res["spot_sd"][ind])
+        opt_duration = float(res["duration_sd"][ind])
+        step = float(shifts[1] - shifts[0])
+        if step <= target_step or step < 1e-12:
+            break
+        lo, hi = base_shift - step, base_shift + step
 
     det.shiftByDistance(base_shift)
 

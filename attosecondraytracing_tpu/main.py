@@ -154,24 +154,31 @@ def optimize_detector_fused(chain: OpticalChain, detector: Detector,
     kernel (FindOptimalDistancePallas): ONE kernel pass over the full bundle
     yields every candidate distance's statistics as exact quadratics, the
     minimization runs on the host in float64 — no per-ray data ever reaches
-    HBM or the host."""
+    HBM or the host.
+
+    Optional ``DetectorOptions`` knobs (same names as the host optimizer's
+    keyword arguments) are forwarded: ``Amplitude`` (search window, mm),
+    ``Precision`` (resolution 10^-(P+1)*Amplitude), ``IntensityWeighted``
+    (False drops the Gaussian source weights from the kernel moments)."""
     from .analysis.optimizer import FindOptimalDistancePallas
 
     spec = chain.source_spec
+    weighted = DetectorOptions.get("IntensityWeighted", True)
     det, spot, duration = FindOptimalDistancePallas(
         spec.baked(),
         chain.device_elements(),
         spec.n_rays,
         detector,
         DetectorOptions["OptFor"],
-        gaussian_edge=spec.gaussian_edge,
+        Amplitude=DetectorOptions.get("Amplitude"),
+        Precision=DetectorOptions.get("Precision", 3),
+        gaussian_edge=spec.gaussian_edge if weighted else None,
         verbose=False,
     )
     if verbose:
-        result = (
-            f"The optimal detector distance is {det.get_distance():.3f} mm, "
-            f"with intensity-weighted"
-        )
+        result = f"The optimal detector distance is {det.get_distance():.3f} mm, with"
+        if weighted:
+            result += " intensity-weighted"
         if DetectorOptions["OptFor"] in ["intensity", "spotsize", "size"]:
             result += f" spatial std of {spot * 1e3:.3g} μm"
         if DetectorOptions["OptFor"] in ["intensity", "duration"]:
@@ -337,8 +344,10 @@ def run_ART(
                 detector,
                 DetectorOptions,
                 AnalysisOptions["verbose"],
-                maxRaystoConsider=1000,
-                IntensityWeighted=True,
+                maxRaystoConsider=DetectorOptions.get("maxRaystoConsider", 1000),
+                IntensityWeighted=DetectorOptions.get("IntensityWeighted", True),
+                Amplitude=DetectorOptions.get("Amplitude"),
+                Precision=DetectorOptions.get("Precision", 3),
             )
     else:
         spot_sd, duration_sd = get_result_summary(detector, bundle, AnalysisOptions["verbose"])

@@ -130,18 +130,38 @@ class OpticalElement:
 
         Leaves are host NumPy arrays on purpose: they are jit *inputs* (or get
         packed into a single transfer, see ops/packing.py); creating them as
-        device arrays here would cost one tunnel RPC per tiny leaf."""
+        device arrays here would cost one tunnel RPC per tiny leaf.
+        ``dtype`` defaults to the ``ART_TPU_DTYPE`` override when set (surface
+        and support parameters are weakly-typed python floats and follow the
+        bundle/pose dtype inside jit)."""
+        if dtype is None:
+            from ..ops.precision import env_dtype
+
+            dtype = env_dtype()
         rot = np.asarray(self.frame_rotation(), dtype=dtype)
         pos = np.asarray(self._position, dtype=dtype)
         optic = self._type
         if isinstance(optic, Mask):
-            return MaskElement(rot=rot, position=pos, support=optic.support)
-        defects = optic.device_defects() if isinstance(optic, DeformedMirror) else ()
-        return MirrorElement(
-            rot=rot,
-            position=pos,
-            centre=np.asarray(optic.get_centre(), dtype=dtype),
-            surface=optic.surface_params(),
-            support=optic.support,
-            defects=defects,
-        )
+            el = MaskElement(rot=rot, position=pos, support=optic.support)
+        else:
+            defects = optic.device_defects() if isinstance(optic, DeformedMirror) else ()
+            el = MirrorElement(
+                rot=rot,
+                position=pos,
+                centre=np.asarray(optic.get_centre(), dtype=dtype),
+                surface=optic.surface_params(),
+                support=optic.support,
+                defects=defects,
+            )
+        if dtype is not None:
+            # surface/support scalars are python floats (weakly typed); under
+            # an explicit dtype request cast every float leaf so the whole
+            # trace runs in that dtype even on an x64 backend
+            import jax
+
+            def _cast(x):
+                a = np.asarray(x)
+                return a.astype(dtype) if np.issubdtype(a.dtype, np.floating) else a
+
+            el = jax.tree.map(_cast, el)
+        return el

@@ -61,6 +61,10 @@ def make_bundle(points, directions, wavelength=None, intensity=None, dtype=None)
     dispatch is expensive (especially through a tunneled TPU). The single
     host->device transfer happens when the bundle enters a jitted trace.
     """
+    if dtype is None:
+        from .precision import env_dtype
+
+        dtype = env_dtype()  # explicit ART_TPU_DTYPE override, else input dtype
     on_device = isinstance(points, jax.Array) or isinstance(directions, jax.Array)
     xp = jnp if on_device else np
     p = xp.asarray(points, dtype=dtype)

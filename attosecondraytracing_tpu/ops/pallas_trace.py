@@ -925,8 +925,6 @@ def pallas_source_detector_stats(
     class as the XLA path's 0.4 fs floor, tests/test_surfaces.py), so
     sub-femtosecond durations read as ~0.6-0.9 fs. For sub-fs focus
     metrology run the two-pass path (trace + detector_delays) in float64."""
-    from .precision import LIGHT_SPEED_MM_S
-
     mom = pallas_source_detector_moments(
         spec, elements, n_rays, det_centre, det_normal, det_rot,
         opl_ref=opl_ref, gaussian_edge=gaussian_edge, block_rows=block_rows,

@@ -32,7 +32,16 @@ LIGHT_SPEED_MM_S = 299792458000.0
 T_EPS = 1e-9
 
 
+def env_dtype():
+    """Explicit bundle-dtype override from ``ART_TPU_DTYPE`` (None when the
+    variable is unset — sources then build float64 NumPy bundles, which the
+    backend casts to its native float at jit entry). Consumed by
+    :func:`attosecondraytracing_tpu.ops.bundle.make_bundle`, i.e. by every
+    source factory."""
+    name = os.environ.get("ART_TPU_DTYPE")
+    return None if not name else jnp.dtype(name)
+
+
 def default_dtype():
     """Trace dtype: float32 unless overridden via ART_TPU_DTYPE."""
-    name = os.environ.get("ART_TPU_DTYPE", "float32")
-    return jnp.dtype(name)
+    return env_dtype() or jnp.dtype("float32")

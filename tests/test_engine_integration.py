@@ -216,3 +216,59 @@ def test_resize_source_cli_override():
     chain.source_rays = chain.source_rays  # user-supplied -> spec cleared
     with _pytest.raises(ValueError):
         chain.resize_source(100)
+
+
+def test_detector_options_knobs_reach_fused_optimizer(monkeypatch):
+    """Config-set Amplitude/Precision/IntensityWeighted flow through
+    optimize_detector_fused into FindOptimalDistancePallas (VERDICT r3 #8)."""
+    from attosecondraytracing_tpu.analysis import optimizer as opt
+    from attosecondraytracing_tpu.main import optimize_detector_fused, setup_detector
+
+    chain = _flagship(2048)
+    bundle = chain.trace_final(engine="pallas")
+    det = setup_detector(
+        chain, {"ReflectionNumber": -1, "ManualDetector": False,
+                "DistanceDetector": 500.0}, bundle)
+    seen = {}
+    real = opt.FindOptimalDistancePallas
+
+    def spy(*args, **kwargs):
+        seen.update(kwargs)
+        seen["args"] = args
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(opt, "FindOptimalDistancePallas", spy)
+    do = {"OptFor": "spotsize", "Amplitude": 17.0, "Precision": 4,
+          "IntensityWeighted": False}
+    optimize_detector_fused(chain, det, do, verbose=False)
+    assert seen["Amplitude"] == 17.0
+    assert seen["Precision"] == 4
+    assert seen["gaussian_edge"] is None  # IntensityWeighted=False
+
+    seen.clear()
+    do = {"OptFor": "spotsize"}
+    optimize_detector_fused(chain, det, do, verbose=False)
+    assert seen["Precision"] == 3
+    assert seen["gaussian_edge"] == chain.source_spec.gaussian_edge
+
+
+def test_art_tpu_dtype_env_builds_f32_bundles(monkeypatch):
+    """ART_TPU_DTYPE forces factory source bundles to that dtype end-to-end
+    (VERDICT r3 #7: the flag used to be a documented no-op)."""
+    from attosecondraytracing_tpu.models import sources as msource
+
+    monkeypatch.setenv("ART_TPU_DTYPE", "float32")
+    chain = _flagship(256)
+    for leaf in (chain.source_rays.p, chain.source_rays.d,
+                 chain.source_rays.opl, chain.source_rays.intensity):
+        assert np.asarray(leaf).dtype == np.float32
+    out = chain.trace_final(engine="xla")
+    assert np.asarray(out.p).dtype == np.float32
+    assert np.asarray(out.alive).any()
+
+    src = msource.PlaneWaveDisk(np.zeros(3), np.array([0.0, 0, 1.0]), 5.0, 64)
+    assert np.asarray(src.p).dtype == np.float32
+
+    monkeypatch.delenv("ART_TPU_DTYPE")
+    src64 = msource.PointSource(np.zeros(3), np.array([1.0, 0, 0]), 1e-3, 64)
+    assert np.asarray(src64.p).dtype == np.float64  # x64 test env default

@@ -309,3 +309,70 @@ def test_pallas_optimizer_far_off_focus_start():
     assert d_far.get_distance() == pytest.approx(d_near.get_distance(), abs=0.5)
     assert spot_far == pytest.approx(spot_near, rel=0.1, abs=2e-4)
     assert spot_far < 0.05  # mm: a real focus, not accumulator noise
+
+
+def test_pallas_optimizer_arbitrary_precision(setup, monkeypatch):
+    """The host-side grid zoom reaches amplitude*10^-(Precision+1) for ANY
+    Precision (ADVICE r3: the old single 200k-point grid floored the
+    resolution at amplitude*1e-5). Synthetic moments with a known irrational
+    minimum isolate the refinement logic from kernel noise."""
+    from attosecondraytracing_tpu.analysis.optimizer import (
+        FindOptimalDistancePallas,
+    )
+    from attosecondraytracing_tpu.ops import pallas_trace as pt
+
+    spec, elements, n, out, det = setup
+    d_true_rel = 7.654321e-3  # mm, relative to the expansion point
+    recorded = {}
+
+    def fake_moments(spec_, elements_, n_rays_, c_, nrm_, rot_, **kw):
+        centre = float(kw.get("centre_distance", 0.0))
+        recorded["centre"] = centre
+        m = dict.fromkeys(pt.MOMENT_FIELDS, 0.0)
+        # var_x(d_rel) = 1 - 2 d_rel * x0cx + d_rel^2 -> min at x0cx
+        m.update(w=1.0, x0x0=1.0, x0cx=d_true_rel, cxcx=1.0,
+                 d0d0=1.0, cdcd=1.0)
+        return {
+            "moments": np.array([m[f] for f in pt.MOMENT_FIELDS]),
+            "opl_ref": 0.0, "inv_dn_chief": 0.0, "centre_distance": centre,
+        }
+
+    monkeypatch.setattr(pt, "pallas_source_detector_moments", fake_moments)
+    first = det.get_distance()
+    d_opt, spot, _ = FindOptimalDistancePallas(
+        spec, elements, n, det, OptFor="spotsize", Amplitude=30.0, Precision=6,
+    )
+    expected_shift = recorded["centre"] + d_true_rel
+    # resolution target: 30 mm * 10^-7 = 3e-6 mm; allow a few steps
+    assert d_opt.get_distance() - first == pytest.approx(expected_shift, abs=1e-5)
+    assert spot == pytest.approx(np.sqrt(1.0 - d_true_rel**2), rel=1e-6)
+
+
+def test_probe_focus_estimate_weighting():
+    """Intensity weights shift the probe focus estimate toward the weighted
+    sub-beam's focus (ADVICE r3: the expansion point must match the kernel's
+    weighted moments)."""
+    from attosecondraytracing_tpu.analysis.optimizer import _probe_focus_estimate
+    from attosecondraytracing_tpu.models.detector import Detector as Det
+    from attosecondraytracing_tpu.ops.bundle import make_bundle
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    # two interleaved converging sub-beams: foci 10 mm and 20 mm past z=0
+    x = rng.uniform(-1, 1, n)
+    y = rng.uniform(-1, 1, n)
+    focus_z = np.where(np.arange(n) % 2 == 0, 10.0, 20.0)
+    p = np.stack([x, y, np.full(n, -5.0)], axis=-1)
+    d = np.stack([-x, -y, focus_z + 5.0], axis=-1)
+    bundle = make_bundle(p, d)
+    det = Det(np.array([0.0, 0.0, -5.0]), Centre=[0.0, 0.0, 0.0],
+              Normal=[0.0, 0.0, -1.0])  # normal towards the incoming rays
+
+    w_a = np.where(np.arange(n) % 2 == 0, 1.0, 1e-6)
+    w_b = np.where(np.arange(n) % 2 == 0, 1e-6, 1.0)
+    est_a = _probe_focus_estimate(bundle, det, 50.0, weights=w_a)
+    est_b = _probe_focus_estimate(bundle, det, 50.0, weights=w_b)
+    assert abs(est_a) == pytest.approx(10.0, rel=1e-3)
+    assert abs(est_b) == pytest.approx(20.0, rel=1e-3)
+    est_u = _probe_focus_estimate(bundle, det, 50.0)
+    assert min(abs(est_a), abs(est_b)) < abs(est_u) < max(abs(est_a), abs(est_b))
