@@ -188,6 +188,8 @@ def FindOptimalDistancePallas(
     Precision: int = 3,
     gaussian_edge: float | None = None,
     verbose: bool = False,
+    moments_fn=None,
+    last_moments: dict | None = None,
 ):
     """Detector-distance optimization without ever materializing the bundle —
     and without a refinement loop: ONE fused trace->moments kernel pass
@@ -212,6 +214,14 @@ def FindOptimalDistancePallas(
     via ``gaussian_edge``. Duration readings carry the stats kernel's
     ~0.6 fs float32 noise floor.
 
+    ``moments_fn(det_centre, det_normal, det_rot, gaussian_edge,
+    centre_distance)`` overrides the moment provider — the fused *scan*
+    engine (ops/pallas_scan.make_moments_fn) passes a closure over the
+    shared runtime-scalar kernel so a whole parameter scan optimizes with
+    ONE compile. ``last_moments`` (a dict, if given) receives the moment
+    record actually used — its ``moments[0]`` is the distance-independent
+    surviving weight, i.e. the scan driver's transmission numerator.
+
     Returns (optimal Detector copy, spot SD [mm], duration SD [fs]).
     """
     from ..ops.pallas_trace import (
@@ -220,7 +230,7 @@ def FindOptimalDistancePallas(
         source_bundle,
         sums_to_stats,
     )
-    from ..ops.trace import trace
+    from ..ops.trace import trace_jit
 
     if OptFor not in _OPTFOR_ALIASES:
         raise NameError(
@@ -231,7 +241,7 @@ def FindOptimalDistancePallas(
     det = Detector.copy_detector()
     first_distance = det.get_distance()
     probe = source_bundle(spec, min(n_rays, 4096))
-    out = trace(probe, elements, keep_history=False)
+    out = trace_jit(probe, elements, keep_history=False)
     # probe weights = the same Gaussian-vs-spiral-radius profile the kernel
     # applies, so both the auto-Amplitude and the expansion point match the
     # weighted moments (source_bundle intensities are uniform)
@@ -253,10 +263,16 @@ def FindOptimalDistancePallas(
     d_centre = float(_probe_focus_estimate(out, det, amplitude, weights=probe_w))
 
     rot = det._plane_rotation()
-    mom = pallas_source_detector_moments(
-        spec, elements, n_rays, det.centre, det.normal, rot,
-        gaussian_edge=gaussian_edge, centre_distance=d_centre,
-    )
+    if moments_fn is None:
+        mom = pallas_source_detector_moments(
+            spec, elements, n_rays, det.centre, det.normal, rot,
+            gaussian_edge=gaussian_edge, centre_distance=d_centre,
+        )
+    else:
+        mom = moments_fn(det.centre, det.normal, rot,
+                         gaussian_edge=gaussian_edge, centre_distance=d_centre)
+    if last_moments is not None:
+        last_moments.update(mom)
 
     def _stats_at(shifts):
         sums = moments_to_distance_sums(mom["moments"], shifts,

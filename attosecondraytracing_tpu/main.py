@@ -137,15 +137,19 @@ def optimize_detector(
 def _fused_optimizer_available(chain: OpticalChain) -> bool:
     """True when the detector-distance optimization can run as fused
     trace->stats Pallas scans: the chain's source is in-kernel-synthesizable,
-    the bundle is production-size, and the chain traced on a fused engine
-    (which already verified backend + no-defects eligibility)."""
+    the bundle is production-size, and either the chain already traced on a
+    fused engine or it is Pallas-eligible (backend + no-grid-defects) — the
+    latter covers batched scans whose bundles were produced by the vmapped
+    XLA path (round-3 weak #1: those used to silently drop to the 1000-ray
+    subsampled host optimizer)."""
     from .models.chain import PALLAS_MIN_RAYS
 
-    return (
-        chain.source_spec is not None
-        and chain.source_rays.n_rays >= PALLAS_MIN_RAYS
-        and chain.last_trace_engine in ("pallas", "pallas-source")
-    )
+    if (chain.source_spec is None
+            or chain.source_rays.n_rays < PALLAS_MIN_RAYS):
+        return False
+    if chain.last_trace_engine in ("pallas", "pallas-source"):
+        return True
+    return chain._pallas_eligible(chain.device_elements())
 
 
 def optimize_detector_fused(chain: OpticalChain, detector: Detector,
@@ -288,6 +292,128 @@ def make_plots(chain, bundle, detector, SourceProperties, DetectorOptions, Analy
                 )
 
 
+def _prepare_fused_scan(chains, DetectorOptions, AnalysisOptions):
+    """Eligibility + shared static spec for the runtime-scalar fused scan
+    engine (ops/pallas_scan.py): every chain must carry an in-kernel
+    synthesizable source of the same size and share the pose-independent
+    element structure; per-chain plots (which need full bundles) must not be
+    requested. Returns {'spec', 'elements': per-chain element lists} or None.
+    Set ART_TPU_SCAN_ENGINE=off to force the legacy per-chain path."""
+    if os.environ.get("ART_TPU_SCAN_ENGINE", "auto") == "off":
+        return None
+    from .models.chain import PALLAS_MIN_RAYS
+
+    if len(chains) < 2:
+        return None
+    specs = [c.source_spec for c in chains]
+    if any(s is None or s.kind not in ("cone", "disk") for s in specs):
+        return None
+    n_rays = specs[0].n_rays
+    if any(s.n_rays != n_rays or s.kind != specs[0].kind for s in specs):
+        return None
+    if n_rays < PALLAS_MIN_RAYS:
+        return None
+    element_lists = [c.device_elements() for c in chains]
+    if not chains[0]._pallas_eligible(element_lists[0]):
+        return None
+    from .ops.pallas_scan import make_scan_spec, pose_independent_signature
+
+    try:
+        sigs = {pose_independent_signature(els) for els in element_lists}
+    except Exception:
+        return None
+    if len(sigs) != 1:
+        return None
+    # per-chain plots need per-ray bundles; the CLI scan loop skips plots
+    # anyway (reference gating), so only library-mode plot requests bail
+    plots_wanted = any(
+        AnalysisOptions.get(k) for k in AnalysisOptions if k.startswith("plot_")
+    )
+    if plots_wanted and not _CLI_ACTIVE:
+        return None
+    spec = make_scan_spec(specs[0].kind, element_lists[0], n_rays)
+    return {"spec": spec, "elements": element_lists}
+
+
+def _run_ART_fused_scan(chain, elements, scan_spec, DetectorOptions,
+                        AnalysisOptions):
+    """One scan chain through the runtime-scalar fused engine: probe trace
+    for detector placement, shared-kernel moments for transmission +
+    statistics + the fused detector optimizer. No full bundle is ever built
+    (replaces the serial re-trace of ART/ARTmain.py:326-332)."""
+    from .analysis.optimizer import FindOptimalDistancePallas
+    from .ops import pallas_scan as ps
+    from .ops import pallas_trace as pt
+    from .ops.trace import trace_jit
+
+    niceline = "_" * 99 + "\n"
+    info = chain.source_spec
+    baked_src = info.baked()
+    probe = pt.source_bundle(baked_src, min(info.n_rays, 8192),
+                             wavelength=info.wavelength)
+    probe_out = trace_jit(probe, elements, keep_history=False)
+    detector = setup_detector(chain, DetectorOptions, probe_out)
+
+    fn = ps.make_moments_fn(scan_spec, elements, info, info.n_rays)
+    weighted = DetectorOptions.get("IntensityWeighted", True)
+    edge = info.gaussian_edge if weighted else None
+    rec = {}
+    if DetectorOptions["AutoDetectorDistance"]:
+        detector, spot_sd, duration_sd = FindOptimalDistancePallas(
+            baked_src, elements, info.n_rays, detector,
+            DetectorOptions["OptFor"],
+            Amplitude=DetectorOptions.get("Amplitude"),
+            Precision=DetectorOptions.get("Precision", 3),
+            gaussian_edge=edge, moments_fn=fn, last_moments=rec,
+        )
+    else:
+        rec = fn(detector.centre, detector.normal,
+                 detector._plane_rotation(), gaussian_edge=edge)
+        sums = pt.moments_to_distance_sums(rec["moments"], (0.0,),
+                                           rec["centre_distance"])
+        res = pt.sums_to_stats(sums, rec["opl_ref"], (0.0,))
+        spot_sd, duration_sd = float(res["spot_sd"][0]), float(res["duration_sd"][0])
+
+    # transmission numerator: surviving INTENSITY weight. Reuse the
+    # optimizer's moments when they carry the source profile; re-evaluate
+    # once if the optimizer ran unweighted
+    if edge == info.gaussian_edge:
+        sum_w = float(rec["moments"][0])
+    else:
+        rec_t = fn(detector.centre, detector.normal,
+                   detector._plane_rotation(), gaussian_edge=info.gaussian_edge)
+        sum_w = float(rec_t["moments"][0])
+    etransmission = 100.0 * sum_w / ps.total_source_weight(
+        info.n_rays, info.gaussian_edge)
+    chain.last_trace_engine = "pallas-scan"
+
+    if AnalysisOptions["verbose"]:
+        print(niceline[:-1], flush=True)
+        if isinstance(chain.description, str) and chain.description:
+            print("***" + chain.description + "*** :")
+        if chain.loop_variable_name is not None and chain.loop_variable_value is not None:
+            print(f"For {chain.loop_variable_name} = {chain.loop_variable_value:f}:\n")
+        print(f"The optical setup has an energy transmission of {etransmission:.1f}%.\n")
+        if DetectorOptions["AutoDetectorDistance"]:
+            result = f"The optimal detector distance is {detector.get_distance():.3f} mm, with"
+            if weighted:
+                result += " intensity-weighted"
+            if DetectorOptions["OptFor"] in ["intensity", "spotsize", "size"]:
+                result += f" spatial std of {spot_sd * 1e3:.3g} μm"
+            if DetectorOptions["OptFor"] in ["intensity", "duration"]:
+                result += f" temporal std of {duration_sd:.3g} fs."
+            print(result + " [fused scan kernel over all rays]", flush=True)
+        else:
+            print(
+                f"At the detector distance of {detector.get_distance():.3f} mm "
+                f"we get:\nSpatial std : {spot_sd * 1e3:.3f} μm\n"
+                f"Temporal std : {duration_sd:.3e} fs  "
+                f"[fused scan kernel over all rays]"
+            )
+        print(niceline)
+    return chain, detector, etransmission, spot_sd, duration_sd
+
+
 def run_ART(
     chain: OpticalChain,
     SourceProperties,
@@ -331,14 +457,25 @@ def run_ART(
     detector = setup_detector(chain, DetectorOptions, bundle)
 
     if DetectorOptions["AutoDetectorDistance"]:
-        if _fused_optimizer_available(chain):
+        fused_ok = _fused_optimizer_available(chain)
+        if fused_ok:
             # fused trace->stats scan: every refinement level is one kernel
             # pass over ALL rays (the reference caps the optimizer at 1000
             # sampled rays for speed, ARTmain.py:168-171 — unnecessary here)
-            detector, spot_sd, duration_sd = optimize_detector_fused(
-                chain, detector, DetectorOptions, AnalysisOptions["verbose"]
-            )
-        else:
+            try:
+                detector, spot_sd, duration_sd = optimize_detector_fused(
+                    chain, detector, DetectorOptions, AnalysisOptions["verbose"]
+                )
+            except Exception as exc:
+                print(
+                    f"[attosecondraytracing_tpu] fused detector optimizer "
+                    f"unavailable ({type(exc).__name__}: {exc}); using the "
+                    f"subsampled host optimizer.",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                fused_ok = False
+        if not fused_ok:
             detector, spot_sd, duration_sd = optimize_detector(
                 bundle,
                 detector,
@@ -386,20 +523,30 @@ def main(OpticalChainList, SourceProperties, DetectorOptions, AnalysisOptions, s
     else:
         loop = True
 
-    # TPU-native fast path for parameter scans: evaluate the whole chain list
-    # as one vmapped trace (replaces the reference's serial loop,
-    # ARTmain.py:326-332) when the chains share structure and only the final
-    # bundle is analyzed
+    # TPU-native fast paths for parameter scans (replace the reference's
+    # serial loop, ARTmain.py:326-332) when only the final bundle is analyzed:
+    # 1. the runtime-scalar fused kernel — every chain through ONE compiled
+    #    Mosaic kernel, no per-ray data ever materialized (production sizes);
+    # 2. otherwise one vmapped XLA trace over stacked bundles (small scans).
+    scan_ctx = None
     bundles = None
     if loop and DetectorOptions["ReflectionNumber"] in (-1, len(OpticalChainList[0].optical_elements) - 1):
-        bundles = _batched_final_bundles(OpticalChainList)
+        scan_ctx = _prepare_fused_scan(OpticalChainList, DetectorOptions, AnalysisOptions)
+        if scan_ctx is None:
+            bundles = _batched_final_bundles(OpticalChainList)
 
     for i, chain in enumerate(OpticalChainList):
         print(f"Optical Chain {i}/{len(OpticalChainList)} ", end="", flush=True)
-        values = run_ART(
-            chain, SourceProperties, DetectorOptions, AnalysisOptions, loop,
-            precomputed_bundle=None if bundles is None else bundles[i],
-        )
+        if scan_ctx is not None:
+            values = _run_ART_fused_scan(
+                chain, scan_ctx["elements"][i], scan_ctx["spec"],
+                DetectorOptions, AnalysisOptions,
+            )
+        else:
+            values = run_ART(
+                chain, SourceProperties, DetectorOptions, AnalysisOptions, loop,
+                precomputed_bundle=None if bundles is None else bundles[i],
+            )
         for name, value in zip(keeper_names, values):
             kept_data[name].append(value)
 
@@ -413,11 +560,29 @@ def main(OpticalChainList, SourceProperties, DetectorOptions, AnalysisOptions, s
 
 def _batched_final_bundles(chains):
     """Evaluate a structurally-uniform chain scan as ONE vmapped device trace;
-    returns per-chain final bundles, or None if the scan cannot be batched."""
+    returns per-chain final bundles, or None if the scan cannot be batched.
+
+    Memory guard (round-3 weak #1): stacking every chain's source bundle on
+    the host costs ~37 B/ray/chain — a production-size scan that somehow
+    missed the fused engine must not silently allocate gigabytes here."""
     import jax
 
     from .parallel.mesh import stack_chains, trace_scan
 
+    est_bytes = len(chains) * sum(
+        np.asarray(leaf).nbytes for leaf in chains[0].source_rays
+    )
+    limit = float(os.environ.get("ART_TPU_SCAN_STACK_MAX_BYTES", 1e9))
+    if est_bytes > limit:
+        print(
+            f"[attosecondraytracing_tpu] batched scan skipped: stacking "
+            f"{len(chains)} source bundles would allocate ~{est_bytes / 1e9:.1f} GB "
+            f"(limit {limit / 1e9:.1f} GB, ART_TPU_SCAN_STACK_MAX_BYTES); "
+            f"tracing serially.",
+            file=sys.stderr,
+            flush=True,
+        )
+        return None
     try:
         stacked_elements, stacked_sources = stack_chains(chains)
         outs = trace_scan(stacked_sources, stacked_elements)

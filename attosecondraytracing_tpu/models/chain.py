@@ -54,21 +54,9 @@ class FusedSourceInfo(NamedTuple):
 PALLAS_MIN_RAYS = int(os.environ.get("ART_TPU_PALLAS_MIN_RAYS", "200000"))
 
 
-@partial(jax.jit, static_argnames=("meta", "ignore_defects", "keep_history"))
-def _traced_packed(source, flat_elements, meta, ignore_defects, keep_history):
-    # elements arrive as ONE flat array (single host->device transfer; a
-    # pytree of ~50 tiny leaves costs one tunnel RPC per leaf otherwise)
-    from ..ops.packing import unpack_tree
-
-    elements = unpack_tree(flat_elements, meta)
-    return trace(source, elements, ignore_defects=ignore_defects, keep_history=keep_history)
-
-
-def _traced(source, elements, ignore_defects, keep_history):
-    from ..ops.packing import pack_tree
-
-    flat, meta = pack_tree(elements)
-    return _traced_packed(source, flat, meta, ignore_defects, keep_history)
+#: packed jitted trace (one flat element transfer, executable shared across
+#: same-structure chains) — implementation moved to ops.trace.trace_jit
+from ..ops.trace import trace_jit as _traced  # noqa: E402
 
 
 def _bundle_hash(bundle: RayBundle) -> int:

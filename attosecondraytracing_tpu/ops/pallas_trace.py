@@ -711,12 +711,12 @@ def chief_ray_refs(spec: BakedSource, elements, det_centre, det_normal,
     the chain, the probe is retried with more rays before failing loudly —
     silently indexing a dead ray would return garbage statistics (argmax of an
     all-False mask is 0)."""
-    from .trace import trace
+    from .trace import trace_jit
 
     pout = None
     for n_probe in (8, 256, 8192):
         probe = source_bundle(spec, n_probe, wavelength=50e-6)
-        pout = trace(probe, elements, keep_history=False)
+        pout = trace_jit(probe, elements, keep_history=False)
         if bool(np.asarray(pout.alive).any()):
             break
     else:

@@ -538,6 +538,32 @@ def run_chain_chained(s: TraceState, elements, maps, final,
     return s._replace(px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("meta", "ignore_defects", "keep_history"))
+def _trace_packed(source, flat_elements, meta, ignore_defects, keep_history):
+    # elements arrive as ONE flat array (single host->device transfer; a
+    # pytree of ~50 tiny leaves costs one tunnel RPC per leaf otherwise)
+    from .packing import unpack_tree
+
+    elements = unpack_tree(flat_elements, meta)
+    return trace(source, elements, ignore_defects=ignore_defects,
+                 keep_history=keep_history)
+
+
+def trace_jit(source, elements, ignore_defects: bool = True,
+              keep_history: bool = False):
+    """Jitted trace with the element list packed into one flat transfer
+    (ops/packing.py). Chains with the same *structure* (same element types /
+    leaf shapes) reuse the same XLA executable, so probe traces across a
+    parameter scan compile once."""
+    from .packing import pack_tree
+
+    flat, meta = pack_tree(elements)
+    return _trace_packed(source, flat, meta, ignore_defects, keep_history)
+
+
 def trace(
     source: RayBundle,
     elements: Sequence,
