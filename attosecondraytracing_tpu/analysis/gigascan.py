@@ -109,12 +109,62 @@ def fused_source_images(
     hi_j = jnp.asarray(hi, jnp.float32)
 
     edge = source_spec.gaussian_edge
-    # accumulate chunk partials on host in float64: pixel weights can exceed
-    # the f32 integer range (2^24) on giga-ray scans; an image is only ~1 MB
-    # per chunk to fetch
+    # cross-group accumulation on host in float64: pixel weights can exceed
+    # the f32 integer range (2^24) on giga-ray scans
     w_img = np.zeros(bins, np.float64)
     wd_img = np.zeros(bins, np.float64)
-    off = 0
+
+    # all FULL chunks run in ONE dispatch: a fori_loop of kernel launches +
+    # device binning, group-partitioned f32 accumulators (<= GROUP chunks per
+    # group keeps pixel sums < 2^26, ~1e-6 relative reassociation), groups
+    # summed on the host in f64. The round-3 loop fetched each chunk's image
+    # through the ~25-50 ms tunnel — ~120 sequential round trips per 1e9 rays
+    # that dominated the ~2 ms kernel (VERDICT r3 #4). Mirrors the moments
+    # path's fused dispatch (ops/pallas_trace.pallas_source_detector_moments).
+    GROUP = 8
+    offs = list(range(0, n_total - chunk + 1, chunk))
+    rest_off = len(offs) * chunk
+
+    if len(offs) > 1:
+        phases = jnp.asarray(
+            [float(np.mod(o * _PHI_FRAC, 1.0)) for o in offs], jnp.float32)
+        kfracs = jnp.asarray([o / n_total for o in offs], jnp.float32)
+        n_groups = -(-len(offs) // GROUP)
+        logedge = None if edge is None else float(np.log(edge))
+        kg_local = jnp.arange(chunk, dtype=jnp.float32) / n_total
+
+        @jax.jit
+        def _images_fused(phases_arr, kfracs_arr):
+            def body(i, carry):
+                wg, wdg = carry
+                bundle = pt.pallas_trace_source(
+                    baked, elements, chunk,
+                    wavelength=source_spec.wavelength,
+                    phase=phases_arr[i], k_frac=kfracs_arr[i],
+                    n_total=n_total, ignore_defects=ignore_defects,
+                )
+                if logedge is None:
+                    weights = jnp.ones((chunk,), jnp.float32)
+                else:
+                    weights = jnp.exp(logedge * (kg_local + kfracs_arr[i]))
+                wi, wdi = _chunk_binned_sums(
+                    bundle, weights, centre, normal, rotj,
+                    lo_j, hi_j, jnp.float32(opl_ref), bins)
+                g = i // GROUP
+                return wg.at[g].add(wi), wdg.at[g].add(wdi)
+
+            init = (jnp.zeros((n_groups,) + bins, jnp.float32),
+                    jnp.zeros((n_groups,) + bins, jnp.float32))
+            return jax.lax.fori_loop(0, phases_arr.shape[0], body, init)
+
+        wg, wdg = _images_fused(phases, kfracs)
+        w_img += np.asarray(wg, np.float64).sum(axis=0)
+        wd_img += np.asarray(wdg, np.float64).sum(axis=0)
+    elif offs:
+        rest_off = 0  # single full chunk: take the remainder path below
+
+    # remainder (and the single-chunk case): per-chunk dispatch
+    off = rest_off
     while off < n_total:
         n_local = min(chunk, n_total - off)
         bundle = pt.pallas_trace_source(

@@ -105,3 +105,28 @@ def test_images_match_bundle_histogram_path(setup):
     finite = np.isfinite(m)
     gmean = (m[finite] * w[finite]).sum() / w[finite].sum()
     assert abs(gmean) < 1e-3  # fs
+
+
+def test_fused_dispatch_group_accumulation(setup):
+    """>GROUP full chunks exercise the group-partitioned f32 accumulators of
+    the one-dispatch fori_loop path (VERDICT r3 #4): 16 chunks -> 2 groups
+    must reproduce the single-pass image."""
+    chain, elements, det = setup
+    spec = chain.source_spec
+    kw = dict(bins=(64, 64))
+    res_1 = fused_source_images(spec, elements, det, n_total=16384,
+                                chunk=1 << 23, **kw)
+    res_16 = fused_source_images(spec, elements, det, n_total=16384,
+                                 chunk=1024, extent=res_1["extent"], **kw)
+    assert res_16["sum_w"] == pytest.approx(res_1["sum_w"], rel=1e-5)
+    # 16 small chunks mean more per-chunk spiral-phase rounding (documented
+    # ~2e-5 direction envelope), so single-bin hops are more frequent than in
+    # the 4-chunk test: compare 3x3-blurred images (absorbs one-bin hops)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def blur3(a):
+        return sliding_window_view(np.pad(a, 1), (3, 3)).sum(axis=(2, 3))
+
+    assert np.abs(res_16["image"] - res_1["image"]).sum() < 0.03 * res_1["sum_w"]
+    assert np.abs(blur3(res_16["image"]) - blur3(res_1["image"])).sum() < (
+        0.01 * 9 * res_1["sum_w"])
