@@ -147,9 +147,15 @@ def _fused_optimizer_available(chain: OpticalChain) -> bool:
     if (chain.source_spec is None
             or chain.source_rays.n_rays < PALLAS_MIN_RAYS):
         return False
-    if chain.last_trace_engine in ("pallas", "pallas-source"):
+    if chain.last_trace_engine in ("pallas", "pallas-source", "xla-source"):
         return True
-    return chain._pallas_eligible(chain.device_elements())
+    if chain._pallas_eligible(chain.device_elements()):
+        return True
+    # grid-defect chains: the XLA fused-source moments engine covers them
+    # (ops/xla_source.py) on any non-CPU backend
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def optimize_detector_fused(chain: OpticalChain, detector: Detector,
@@ -168,9 +174,17 @@ def optimize_detector_fused(chain: OpticalChain, detector: Detector,
 
     spec = chain.source_spec
     weighted = DetectorOptions.get("IntensityWeighted", True)
+    elements = chain.device_elements()
+    moments_fn = None
+    if not chain._pallas_eligible(elements):
+        # grid-defect chains: same one-pass moment optimizer through the
+        # XLA fused-source engine (gathers lower fine in XLA)
+        from .ops.xla_source import make_xla_moments_fn
+
+        moments_fn = make_xla_moments_fn(spec.baked(), elements, spec.n_rays)
     det, spot, duration = FindOptimalDistancePallas(
         spec.baked(),
-        chain.device_elements(),
+        elements,
         spec.n_rays,
         detector,
         DetectorOptions["OptFor"],
@@ -178,6 +192,7 @@ def optimize_detector_fused(chain: OpticalChain, detector: Detector,
         Precision=DetectorOptions.get("Precision", 3),
         gaussian_edge=spec.gaussian_edge if weighted else None,
         verbose=False,
+        moments_fn=moments_fn,
     )
     if verbose:
         result = f"The optimal detector distance is {det.get_distance():.3f} mm, with"
@@ -313,17 +328,6 @@ def _prepare_fused_scan(chains, DetectorOptions, AnalysisOptions):
         return None
     if n_rays < PALLAS_MIN_RAYS:
         return None
-    element_lists = [c.device_elements() for c in chains]
-    if not chains[0]._pallas_eligible(element_lists[0]):
-        return None
-    from .ops.pallas_scan import make_scan_spec, pose_independent_signature
-
-    try:
-        sigs = {pose_independent_signature(els) for els in element_lists}
-    except Exception:
-        return None
-    if len(sigs) != 1:
-        return None
     # per-chain plots need per-ray bundles; the CLI scan loop skips plots
     # anyway (reference gating), so only library-mode plot requests bail
     plots_wanted = any(
@@ -331,16 +335,48 @@ def _prepare_fused_scan(chains, DetectorOptions, AnalysisOptions):
     )
     if plots_wanted and not _CLI_ACTIVE:
         return None
-    spec = make_scan_spec(specs[0].kind, element_lists[0], n_rays)
-    return {"spec": spec, "elements": element_lists}
+    element_lists = [c.device_elements() for c in chains]
+    forced = os.environ.get("ART_TPU_SCAN_ENGINE", "auto")
+    from .ops.pallas_scan import make_scan_spec, pose_independent_signature
+
+    pallas_ok = False
+    if forced in ("auto", "pallas"):
+        try:
+            sigs = {pose_independent_signature(els) for els in element_lists}
+            pallas_ok = (len(sigs) == 1
+                         and chains[0]._pallas_eligible(element_lists[0]))
+        except NotImplementedError:
+            pallas_ok = False  # grid defects: not bakeable into the kernel
+    if pallas_ok:
+        spec = make_scan_spec(specs[0].kind, element_lists[0], n_rays)
+        return {"engine": "pallas-scan", "spec": spec, "elements": element_lists}
+    # grid-defect (or otherwise kernel-ineligible) scans: the XLA
+    # fused-source moments engine takes poses as traced inputs, so it also
+    # shares one executable across same-structure chains
+    import jax
+
+    if forced not in ("auto", "xla"):
+        return None
+    if forced == "auto" and jax.default_backend() == "cpu":
+        return None
+    treedefs = {jax.tree_util.tree_structure(els) for els in element_lists}
+    shapes = {
+        tuple(np.asarray(leaf).shape for leaf in jax.tree_util.tree_leaves(els))
+        for els in element_lists
+    }
+    if len(treedefs) != 1 or len(shapes) != 1:
+        return None
+    return {"engine": "xla-scan", "spec": None, "elements": element_lists}
 
 
 def _run_ART_fused_scan(chain, elements, scan_spec, DetectorOptions,
-                        AnalysisOptions):
-    """One scan chain through the runtime-scalar fused engine: probe trace
-    for detector placement, shared-kernel moments for transmission +
-    statistics + the fused detector optimizer. No full bundle is ever built
-    (replaces the serial re-trace of ART/ARTmain.py:326-332)."""
+                        AnalysisOptions, engine="pallas-scan"):
+    """One scan chain through the fused scan engine: probe trace for
+    detector placement, shared-kernel moments for transmission + statistics
+    + the fused detector optimizer. No full bundle is ever built (replaces
+    the serial re-trace of ART/ARTmain.py:326-332). ``engine``:
+    "pallas-scan" (runtime-scalar Mosaic kernel) or "xla-scan" (XLA
+    fused-source engine — grid-defect chains)."""
     from .analysis.optimizer import FindOptimalDistancePallas
     from .ops import pallas_scan as ps
     from .ops import pallas_trace as pt
@@ -354,7 +390,12 @@ def _run_ART_fused_scan(chain, elements, scan_spec, DetectorOptions,
     probe_out = trace_jit(probe, elements, keep_history=False)
     detector = setup_detector(chain, DetectorOptions, probe_out)
 
-    fn = ps.make_moments_fn(scan_spec, elements, info, info.n_rays)
+    if engine == "xla-scan":
+        from .ops.xla_source import make_xla_moments_fn
+
+        fn = make_xla_moments_fn(baked_src, elements, info.n_rays)
+    else:
+        fn = ps.make_moments_fn(scan_spec, elements, info, info.n_rays)
     weighted = DetectorOptions.get("IntensityWeighted", True)
     edge = info.gaussian_edge if weighted else None
     rec = {}
@@ -385,7 +426,7 @@ def _run_ART_fused_scan(chain, elements, scan_spec, DetectorOptions,
         sum_w = float(rec_t["moments"][0])
     etransmission = 100.0 * sum_w / ps.total_source_weight(
         info.n_rays, info.gaussian_edge)
-    chain.last_trace_engine = "pallas-scan"
+    chain.last_trace_engine = engine
 
     if AnalysisOptions["verbose"]:
         print(niceline[:-1], flush=True)
@@ -540,7 +581,7 @@ def main(OpticalChainList, SourceProperties, DetectorOptions, AnalysisOptions, s
         if scan_ctx is not None:
             values = _run_ART_fused_scan(
                 chain, scan_ctx["elements"][i], scan_ctx["spec"],
-                DetectorOptions, AnalysisOptions,
+                DetectorOptions, AnalysisOptions, engine=scan_ctx["engine"],
             )
         else:
             values = run_ART(

@@ -193,13 +193,18 @@ class OpticalChain:
         Pallas whole-chain kernel on TPU — the in-kernel-source variant when
         the chain's source is a factory Vogel source (``source_spec``), the
         streamed variant otherwise — with transparent fallback to the XLA
-        trace; "pallas" forces the fused kernel (raises if unsupported);
-        "xla" forces the reference-parity XLA path. The engine actually used
-        is recorded in ``self.last_trace_engine``.
+        trace; chains the Mosaic kernel cannot take (grid defect maps) but
+        whose source is synthesizable route to the XLA fused-source engine
+        (in-jit source + chained frames, ops/xla_source.py) at production
+        sizes; "pallas" forces the fused kernel (raises if unsupported);
+        "xla-source" forces the XLA fused-source engine; "xla" forces the
+        reference-parity streamed XLA path. The engine actually used is
+        recorded in ``self.last_trace_engine``.
         """
         engine = engine or os.environ.get("ART_TPU_ENGINE", "auto")
-        if engine not in ("auto", "pallas", "xla"):
-            raise ValueError('engine must be one of "auto", "pallas", "xla"')
+        if engine not in ("auto", "pallas", "xla", "xla-source"):
+            raise ValueError(
+                'engine must be one of "auto", "pallas", "xla", "xla-source"')
         elements = self.device_elements()
         n_rays = self.source_rays.n_rays
         want_pallas = engine == "pallas" or (
@@ -217,6 +222,36 @@ class OpticalChain:
                 print(
                     f"[attosecondraytracing_tpu] fused Pallas trace unavailable "
                     f"({type(exc).__name__}: {exc}); falling back to the XLA path.",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        spec = self._source_spec
+        want_xla_source = engine == "xla-source" or (
+            engine == "auto"
+            and not want_pallas
+            and spec is not None
+            and spec.kind in ("cone", "disk")
+            and n_rays >= PALLAS_MIN_RAYS
+            and jax.default_backend() != "cpu"
+        )
+        if want_xla_source:
+            try:
+                from ..ops.xla_source import xla_trace_source
+
+                out = xla_trace_source(
+                    spec.baked(), elements, spec.n_rays,
+                    wavelength=spec.wavelength, ignore_defects=ignore_defects,
+                )
+                out = out._replace(intensity=jnp.asarray(self.source_rays.intensity))
+                self.last_trace_engine = "xla-source"
+                return out
+            except Exception as exc:
+                if engine == "xla-source":
+                    raise
+                print(
+                    f"[attosecondraytracing_tpu] XLA fused-source trace "
+                    f"unavailable ({type(exc).__name__}: {exc}); falling back "
+                    f"to the streamed XLA path.",
                     file=sys.stderr,
                     flush=True,
                 )
