@@ -176,9 +176,19 @@ def optimize_detector_fused(chain: OpticalChain, detector: Detector,
     weighted = DetectorOptions.get("IntensityWeighted", True)
     elements = chain.device_elements()
     moments_fn = None
-    if not chain._pallas_eligible(elements):
-        # grid-defect chains: same one-pass moment optimizer through the
-        # XLA fused-source engine (gathers lower fine in XLA)
+    use_xla = not chain._pallas_eligible(elements)
+    if not use_xla:
+        # cold-process warmup weighing: for a small one-shot optimization the
+        # XLA moments engine finishes before the Mosaic warmup would
+        import jax
+
+        from .ops import warmup
+
+        use_xla = (jax.default_backend() != "cpu" and not warmup.mosaic_warm()
+                   and spec.n_rays < warmup.BREAKEVEN_RAYS)
+    if use_xla:
+        # grid-defect chains (and cold small runs): same one-pass moment
+        # optimizer through the XLA fused-source engine
         from .ops.xla_source import make_xla_moments_fn
 
         moments_fn = make_xla_moments_fn(spec.baked(), elements, spec.n_rays)
@@ -347,6 +357,17 @@ def _prepare_fused_scan(chains, DetectorOptions, AnalysisOptions):
                          and chains[0]._pallas_eligible(element_lists[0]))
         except NotImplementedError:
             pallas_ok = False  # grid defects: not bakeable into the kernel
+    if pallas_ok and forced == "auto":
+        # cold-process warmup weighing: a modest scan's total fused work may
+        # not cover the one-time Mosaic warmup — the XLA fused-source scan
+        # engine (compiles in seconds) serves it instead
+        import jax
+
+        from .ops import warmup
+
+        if (jax.default_backend() != "cpu" and not warmup.mosaic_warm()
+                and len(chains) * n_rays < warmup.BREAKEVEN_RAYS):
+            pallas_ok = False
     if pallas_ok:
         spec = make_scan_spec(specs[0].kind, element_lists[0], n_rays)
         return {"engine": "pallas-scan", "spec": spec, "elements": element_lists}

@@ -212,6 +212,24 @@ class OpticalChain:
             and n_rays >= PALLAS_MIN_RAYS
             and self._pallas_eligible(elements)
         )
+        if want_pallas and engine == "auto":
+            # cold-process warmup weighing (VERDICT r3 #6): the first Pallas
+            # kernel of a process pays minutes of Mosaic warmup on this TPU;
+            # for a small one-shot trace the XLA path (itself >1e9 rays/s)
+            # finishes long before the warmup would
+            from ..ops import warmup
+
+            if (jax.default_backend() != "cpu" and not warmup.mosaic_warm()
+                    and n_rays < warmup.BREAKEVEN_RAYS):
+                print(
+                    f"[attosecondraytracing_tpu] staying on the XLA engine for "
+                    f"this {n_rays}-ray trace: the one-time Mosaic warmup "
+                    f"(minutes) exceeds the XLA cost at this size. Force with "
+                    f"ART_TPU_ENGINE=pallas or ART_TPU_ASSUME_WARM=1.",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                want_pallas = False
         if want_pallas:
             try:
                 out = self._trace_final_pallas(elements, ignore_defects)

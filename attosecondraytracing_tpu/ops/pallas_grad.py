@@ -374,6 +374,9 @@ def _stats_and_jacobian(
     runs under shard_map with per-device (phase, k_frac) spiral offsets and
     only the per-device partial-sum vectors cross the mesh (a few hundred
     bytes per pass for a billion-ray gradient)."""
+    from .warmup import note_dispatch
+
+    note_dispatch()
     n_stats = len(pt.STATS_FIELDS)
     P = stangents.shape[0]
     interpret = jax.default_backend() == "cpu"

@@ -168,6 +168,9 @@ def scan_moments(
     one chain of the scan — same contract as
     pt.pallas_source_detector_moments but with every pose a runtime scalar.
     Chunked beyond 2^23 rays with the (phase, k_frac) spiral-offset law."""
+    from .warmup import note_dispatch
+
+    note_dispatch()
     centre_distance = float(np.float32(centre_distance))
     wcoef = 0.0 if gaussian_edge is None else float(np.log(gaussian_edge) / radius**2)
     interpret = jax.default_backend() == "cpu"

@@ -472,6 +472,9 @@ def pallas_trace_source(
     :func:`pallas_trace`. Intensities are uniform 1.0 — apply Gaussian
     weights downstream if needed (they multiply, the trace never reads
     them)."""
+    from .warmup import note_dispatch
+
+    note_dispatch()
     baked, maps, final, premasks = _source_maps(spec, elements)
     tile = block_rows * LANES
     n_pad = ((n_rays + tile - 1) // tile) * tile
@@ -998,6 +1001,9 @@ def pallas_source_detector_moments(
         spec, elements, det_centre, det_normal, (0.0,), opl_ref
     )
 
+    from .warmup import note_dispatch
+
+    note_dispatch()
     det = bake_detector(elements, det_centre, det_normal, det_rot,
                         opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
     baked, maps, final, premasks = _source_maps(spec, elements)
@@ -1141,6 +1147,9 @@ def pallas_trace(
     ``fresh=None`` auto-detects whether the source is untouched (all alive,
     zero opl/incidence) and, if so, skips streaming those inputs from HBM.
     """
+    from .warmup import note_dispatch
+
+    note_dispatch()
     baked, maps, final, premasks = _static_chain(elements)
     n = source.n_rays
     tile = block_rows * LANES

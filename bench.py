@@ -101,6 +101,9 @@ def warmup_mosaic(verbose=True):
     v = float(jax.jit(f)(jnp.zeros((8, 128), jnp.float32)).sum())
     assert v == 8 * 128
     dt = time.perf_counter() - t0
+    from attosecondraytracing_tpu.ops import warmup as _warmup
+
+    _warmup.mark_warm()  # engine auto-selection may now assume warm kernels
     _COMPILE_SECONDS["mosaic_warmup"] = round(dt, 1)
     if verbose:
         print(f"# mosaic warmup (tiny kernel): {dt:.1f}s", file=sys.stderr)

@@ -326,3 +326,40 @@ def test_batched_scan_memory_guard(monkeypatch, capsys):
     assert amain._batched_final_bundles(chains) is None
     err = capsys.readouterr().err
     assert "batched scan skipped" in err
+
+
+def test_cold_process_warmup_weighing(monkeypatch, capsys):
+    """On a (mocked) TPU backend with a cold Mosaic toolchain, engine='auto'
+    deflects small one-shot traces away from the Pallas kernels — with a
+    printed notice — and the first would-be Pallas dispatch announces the
+    warmup (VERDICT r3 #5/#6)."""
+    import jax
+
+    from attosecondraytracing_tpu.ops import warmup
+
+    monkeypatch.setattr(mchain, "PALLAS_MIN_RAYS", 1024)
+    monkeypatch.setattr(mchain.OpticalChain, "_pallas_eligible", lambda self, els: True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(warmup, "_WARM", False)
+    monkeypatch.delenv("ART_TPU_ASSUME_WARM", raising=False)
+
+    chain = _flagship(2048)  # far below BREAKEVEN_RAYS
+    chain.trace_final(engine="auto")
+    err = capsys.readouterr().err
+    assert "staying on the XLA engine" in err
+    # the deflection lands on the XLA fused-source engine (no Mosaic, no
+    # host bundle), not the streamed path
+    assert chain.last_trace_engine == "xla-source"
+
+    # the notice prints exactly once per process
+    warmup.note_dispatch()
+    warmup.note_dispatch()
+    err = capsys.readouterr().err
+    assert err.count("Mosaic toolchain warmup") == 1
+    assert warmup.mosaic_warm()
+
+    # once warm, auto keeps the kernels for eligible sizes (selection only —
+    # restore the real backend before any actual dispatch)
+    monkeypatch.setattr(warmup, "_WARM", True)
+    monkeypatch.setenv("ART_TPU_ASSUME_WARM", "1")
+    assert warmup.mosaic_warm()
