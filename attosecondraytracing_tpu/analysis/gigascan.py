@@ -109,6 +109,29 @@ def fused_source_images(
     hi_j = jnp.asarray(hi, jnp.float32)
 
     edge = source_spec.gaussian_edge
+    logedge = None if edge is None else float(np.log(edge))
+    if baked.kind == "extended":
+        # chunks must align to whole sub-sources (the position-spiral offset
+        # law of pt.synth_source_c)
+        chunk = max(1, chunk // baked.n_each) * baked.n_each
+
+    def _phase_kfrac(off):
+        if baked.kind == "extended":
+            i0 = off // baked.n_each
+            return (float(np.mod(i0 * _PHI_FRAC, 1.0)),
+                    i0 / max(baked.n_sources, 1))
+        return float(np.mod(off * _PHI_FRAC, 1.0)), off / n_total
+
+    def _weights(n_local, k_frac_i):
+        if logedge is None:
+            return jnp.ones((n_local,), jnp.float32)
+        kf = jnp.arange(n_local, dtype=jnp.float32)
+        _p, _d, rr = pt.synth_source_c(
+            baked.kind, kf, n_total, baked.radius, 0.0, k_frac_i,
+            pos_radius=baked.pos_radius, n_each=baked.n_each,
+            n_sources=baked.n_sources)
+        return jnp.exp(logedge * rr)
+
     # cross-group accumulation on host in float64: pixel weights can exceed
     # the f32 integer range (2^24) on giga-ray scans
     w_img = np.zeros(bins, np.float64)
@@ -126,12 +149,10 @@ def fused_source_images(
     rest_off = len(offs) * chunk
 
     if len(offs) > 1:
-        phases = jnp.asarray(
-            [float(np.mod(o * _PHI_FRAC, 1.0)) for o in offs], jnp.float32)
-        kfracs = jnp.asarray([o / n_total for o in offs], jnp.float32)
+        pk = [_phase_kfrac(o) for o in offs]
+        phases = jnp.asarray([p for p, _ in pk], jnp.float32)
+        kfracs = jnp.asarray([k for _, k in pk], jnp.float32)
         n_groups = -(-len(offs) // GROUP)
-        logedge = None if edge is None else float(np.log(edge))
-        kg_local = jnp.arange(chunk, dtype=jnp.float32) / n_total
 
         @jax.jit
         def _images_fused(phases_arr, kfracs_arr):
@@ -143,10 +164,7 @@ def fused_source_images(
                     phase=phases_arr[i], k_frac=kfracs_arr[i],
                     n_total=n_total, ignore_defects=ignore_defects,
                 )
-                if logedge is None:
-                    weights = jnp.ones((chunk,), jnp.float32)
-                else:
-                    weights = jnp.exp(logedge * (kg_local + kfracs_arr[i]))
+                weights = _weights(chunk, kfracs_arr[i])
                 wi, wdi = _chunk_binned_sums(
                     bundle, weights, centre, normal, rotj,
                     lo_j, hi_j, jnp.float32(opl_ref), bins)
@@ -167,20 +185,16 @@ def fused_source_images(
     off = rest_off
     while off < n_total:
         n_local = min(chunk, n_total - off)
+        phase_i, k_frac_i = _phase_kfrac(off)
         bundle = pt.pallas_trace_source(
             baked, elements, n_local,
             wavelength=source_spec.wavelength,
-            phase=float(np.mod(off * _PHI_FRAC, 1.0)),
-            k_frac=off / n_total,
+            phase=phase_i,
+            k_frac=k_frac_i,
             n_total=n_total,
             ignore_defects=ignore_defects,
         )
-        if edge is None:
-            weights = jnp.ones((n_local,), jnp.float32)
-        else:
-            # global Vogel radius law: r^2/R^2 = k_global / n_total
-            kg = jnp.arange(n_local, dtype=jnp.float32) / n_total + off / n_total
-            weights = jnp.exp(float(np.log(edge)) * kg)
+        weights = _weights(n_local, jnp.float32(k_frac_i))
         wi, wdi = _chunk_binned_sums(bundle, weights, centre, normal, rotj,
                                      lo_j, hi_j, jnp.float32(opl_ref), bins)
         w_img += np.asarray(wi, np.float64)

@@ -331,7 +331,7 @@ def _prepare_fused_scan(chains, DetectorOptions, AnalysisOptions):
     if len(chains) < 2:
         return None
     specs = [c.source_spec for c in chains]
-    if any(s is None or s.kind not in ("cone", "disk") for s in specs):
+    if any(s is None or s.kind not in ("cone", "disk", "extended") for s in specs):
         return None
     n_rays = specs[0].n_rays
     if any(s.n_rays != n_rays or s.kind != specs[0].kind for s in specs):
@@ -369,7 +369,10 @@ def _prepare_fused_scan(chains, DetectorOptions, AnalysisOptions):
                 and len(chains) * n_rays < warmup.BREAKEVEN_RAYS):
             pallas_ok = False
     if pallas_ok:
-        spec = make_scan_spec(specs[0].kind, element_lists[0], n_rays)
+        baked0 = specs[0].baked()
+        spec = make_scan_spec(specs[0].kind, element_lists[0], n_rays,
+                              n_each=baked0.n_each,
+                              n_sources=baked0.n_sources)
         return {"engine": "pallas-scan", "spec": spec, "elements": element_lists}
     # grid-defect (or otherwise kernel-ineligible) scans: the XLA
     # fused-source moments engine takes poses as traced inputs, so it also
@@ -446,7 +449,8 @@ def _run_ART_fused_scan(chain, elements, scan_spec, DetectorOptions,
                    detector._plane_rotation(), gaussian_edge=info.gaussian_edge)
         sum_w = float(rec_t["moments"][0])
     etransmission = 100.0 * sum_w / ps.total_source_weight(
-        info.n_rays, info.gaussian_edge)
+        info.n_rays, info.gaussian_edge, n_each=baked_src.n_each,
+        n_sources=baked_src.n_sources)
     chain.last_trace_engine = engine
 
     if AnalysisOptions["verbose"]:

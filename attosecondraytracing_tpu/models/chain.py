@@ -32,19 +32,21 @@ class FusedSourceInfo(NamedTuple):
     intensity edge). Attached to an OpticalChain by OEPlacement; kept in sync
     by shift_source/tilt_source; cleared when the user replaces the bundle."""
 
-    kind: str            # 'cone' (point source) | 'disk' (plane-wave disk)
+    kind: str            # 'cone' (point source) | 'disk' (plane-wave disk) | 'extended'
     origin: tuple        # lab-frame source point / disk centre
     axis: tuple          # beam axis (unit)
-    param: float         # half-divergence [rad] for 'cone', radius [mm] for 'disk'
+    param: float         # half-divergence [rad] for 'cone'/'extended', radius [mm] for 'disk'
     gaussian_edge: float | None  # ApplyGaussianIntensityToRayList edge value
     n_rays: int
     wavelength: float
+    diameter: float = 0.0  # source-disk diameter [mm] ('extended' only)
 
     def baked(self):
         from ..ops.pallas_trace import make_source_spec
 
         return make_source_spec(self.kind, np.asarray(self.origin),
-                                np.asarray(self.axis), self.param)
+                                np.asarray(self.axis), self.param,
+                                diameter=self.diameter, n_rays=self.n_rays)
 
 
 #: bundles below this size stay on the XLA path under engine="auto": the
@@ -138,13 +140,18 @@ class OpticalChain:
         if spec.kind == "cone":
             bundle = msource.PointSource(origin, axis, spec.param, n_rays,
                                          Wavelength=spec.wavelength)
+        elif spec.kind == "extended":
+            bundle = msource.ExtendedSource(origin, axis, spec.diameter,
+                                            spec.param, n_rays,
+                                            Wavelength=spec.wavelength)
         else:
             bundle = msource.PlaneWaveDisk(origin, axis, spec.param, n_rays,
                                            Wavelength=spec.wavelength)
         if spec.gaussian_edge is not None:
             bundle = msource.ApplyGaussianIntensityToRayList(
                 bundle, spec.gaussian_edge)
-        self._set_source(bundle, spec._replace(n_rays=n_rays))
+        # 'extended' emits n_sources * n_each rays, not the requested count
+        self._set_source(bundle, spec._replace(n_rays=bundle.n_rays))
         self._output_rays = None  # retrace on next use
 
     # ------------------------------------------------------------------
@@ -248,7 +255,7 @@ class OpticalChain:
             engine == "auto"
             and not want_pallas
             and spec is not None
-            and spec.kind in ("cone", "disk")
+            and spec.kind in ("cone", "disk", "extended")
             and n_rays >= PALLAS_MIN_RAYS
             and jax.default_backend() != "cpu"
         )
@@ -280,7 +287,7 @@ class OpticalChain:
         from ..ops import pallas_trace as pt
 
         spec = self._source_spec
-        if spec is not None and spec.kind in ("cone", "disk"):
+        if spec is not None and spec.kind in ("cone", "disk", "extended"):
             out = pt.pallas_trace_source(
                 spec.baked(), elements, spec.n_rays, wavelength=spec.wavelength,
                 ignore_defects=ignore_defects,

@@ -28,11 +28,11 @@ from .supports import SupportRoundHole
 
 
 def _build_source(SourceProperties: dict, optics_list):
-    """(source bundle, FusedSourceInfo | None) per the reference's rules
+    """(source bundle, FusedSourceInfo) per the reference's rules
     (ART/ModuleProcessing.py:55-79): plane wave / point / extended source +
-    Gaussian intensity to 1/e^2. Point and plane-wave sources also get a
-    fused-source description so the production trace can synthesize them
-    in-kernel (extended sources have no in-kernel form)."""
+    Gaussian intensity to 1/e^2. Every kind gets a fused-source description
+    so the production trace can synthesize it in-kernel (extended sources
+    via the nested-spiral index decode, ops/pallas_trace.synth_source_c)."""
     from .chain import FusedSourceInfo
 
     divergence = SourceProperties["Divergence"]
@@ -66,6 +66,11 @@ def _build_source(SourceProperties: dict, optics_list):
                                wavelength=float(wavelength))
     else:
         bundle = msource.ExtendedSource(origin, direction, source_size, divergence, n_rays, Wavelength=wavelength)
+        spec = FusedSourceInfo(kind="extended", origin=(0.0, 0.0, 0.0),
+                               axis=(1.0, 0.0, 0.0), param=float(divergence),
+                               gaussian_edge=edge, n_rays=bundle.n_rays,
+                               wavelength=float(wavelength),
+                               diameter=float(source_size))
     return msource.ApplyGaussianIntensityToRayList(bundle, edge), spec
 
 

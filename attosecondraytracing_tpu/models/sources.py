@@ -48,13 +48,12 @@ def PointSource(S, Axis, Divergence: float, NbRays: int, Wavelength=None, dtype=
 
 def ExtendedSource(S, Axis, Diameter: float, Divergence: float, NbRays: int, Wavelength=None, dtype=None) -> RayBundle:
     """Array of point sources over a disk of ``Diameter``, each emitting a
-    cone (ART/ModuleSource.py:85-131; same point-source count heuristics)."""
-    min_sources, min_rays_each = 30, 300
-    n_sources = max(min_sources, int(250 * Diameter))
-    n_sources = min(n_sources, int(NbRays / min_rays_each))
-    n_sources = max(n_sources, 1)
+    cone (ART/ModuleSource.py:85-131; same point-source count heuristics,
+    shared with the in-kernel synthesizer via host_geometry)."""
+    from ..ops.host_geometry import extended_source_counts
+
+    n_sources, n_each = extended_source_counts(Diameter, NbRays)
     centres = vogel_spiral(n_sources, Diameter / 2.0)
-    n_each = max(min_rays_each, int(NbRays / n_sources))
     cone = _cone_dirs(Divergence, n_each)
     points = np.zeros((n_sources * n_each, 3))
     points[:, :2] = np.repeat(centres, n_each, axis=0)

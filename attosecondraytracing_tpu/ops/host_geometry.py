@@ -90,3 +90,17 @@ def reflect(d, n):
     d = np.asarray(d, dtype=float)
     n = np.asarray(n, dtype=float)
     return d - 2.0 * np.dot(d, n) * n
+
+
+def extended_source_counts(diameter: float, n_rays: int):
+    """(n_sources, n_each) for an extended source: the reference's
+    sub-source count heuristics (ART/ModuleSource.py:85-131). Shared by
+    models.sources.ExtendedSource and the in-kernel synthesizer
+    (ops.pallas_trace.make_source_spec) so the two always agree; the total
+    emitted ray count is n_sources * n_each (not the requested n_rays)."""
+    min_sources, min_rays_each = 30, 300
+    n_sources = max(min_sources, int(250 * diameter))
+    n_sources = min(n_sources, int(n_rays / min_rays_each))
+    n_sources = max(n_sources, 1)
+    n_each = max(min_rays_each, int(n_rays / n_sources))
+    return n_sources, n_each

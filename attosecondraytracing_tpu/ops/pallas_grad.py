@@ -53,7 +53,7 @@ class FusedLossSpec(NamedTuple):
     """Static (hashable) description of a fused differentiable loss: the
     pose-independent parts of the chain + source + detector + loss weights."""
 
-    source_kind: str          # 'cone' | 'disk'
+    source_kind: str          # 'cone' | 'disk' | 'extended'
     source_radius: float      # tan(divergence) or disk radius [mm]
     elements: tuple           # baked elements (pt._static_elements output)
     element_kinds: tuple      # 'mirror' | 'mask' per element
@@ -63,6 +63,9 @@ class FusedLossSpec(NamedTuple):
     duration_weight: float
     survival_weight: float
     ignore_defects: bool
+    pos_radius: float = 0.0   # source-disk radius [mm] ('extended')
+    n_each: int = 0
+    n_sources: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -161,23 +164,19 @@ def _stats_of_scalars(scal_tuple, spec: FusedLossSpec, kf, idx, block_rows,
         n_local = spec.n_rays
     maps, det_rel = _unpack_scalars(scal_tuple, len(spec.elements))
     shape = (block_rows, pt.LANES)
-    cx, cy = pt._vogel_xy_c(kf, spec.n_rays, spec.source_radius, phase, k_frac)
+    (px, py, pz), (dx, dy, dz), rr = pt.synth_source_c(
+        spec.source_kind, kf, spec.n_rays, spec.source_radius, phase, k_frac,
+        pos_radius=spec.pos_radius, n_each=spec.n_each,
+        n_sources=spec.n_sources)
     zeros = jnp.zeros(shape, dtype=jnp.float32)
     ones = jnp.ones(shape, dtype=jnp.float32)
-    if spec.source_kind == "cone":
-        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-        px, py, pz = zeros, zeros, zeros
-        dx, dy, dz = cx * inv, cy * inv, inv
-    else:
-        px, py, pz = cx, cy, zeros
-        dx, dy, dz = zeros, zeros, ones
     if spec.gaussian_edge is None:
         weights = ones
     else:
-        rr = (cx * cx + cy * cy) * (1.0 / spec.source_radius**2)
         weights = jnp.exp(float(np.log(spec.gaussian_edge)) * rr)
     s = TraceState(
-        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        px=px + zeros, py=py + zeros, pz=pz + zeros,
+        dx=dx + zeros, dy=dy + zeros, dz=dz + zeros,
         opl=zeros, opl_c=zeros,
         alive=idx < n_local,
         incidence=zeros,
@@ -316,8 +315,7 @@ def make_loss_spec(
     )
     return FusedLossSpec(
         source_kind=source_spec.kind,
-        source_radius=float(np.tan(source_spec.param)) if source_spec.kind == "cone"
-        else float(source_spec.param),
+        source_radius=float(baked_src.radius),
         elements=pt._static_elements(elements),
         element_kinds=kinds,
         opl_ref=float(opl_ref),
@@ -326,6 +324,9 @@ def make_loss_spec(
         duration_weight=float(duration_weight),
         survival_weight=float(survival_weight),
         ignore_defects=bool(ignore_defects),
+        pos_radius=float(baked_src.pos_radius),
+        n_each=int(baked_src.n_each),
+        n_sources=int(baked_src.n_sources),
     )
 
 
@@ -342,20 +343,15 @@ def _total_weight(spec: FusedLossSpec) -> float:
     series (the old arange-based sum would allocate O(n_rays))."""
     from .pallas_scan import total_source_weight
 
-    return total_source_weight(spec.n_rays, spec.gaussian_edge)
+    return total_source_weight(spec.n_rays, spec.gaussian_edge,
+                               n_each=spec.n_each, n_sources=spec.n_sources)
 
 
-def _ray_chunks(n_rays: int, chunk_size: int):
-    """[(n_local, phase, k_frac)] covering the global spiral (the chunking
-    law of ops/pallas_trace.pallas_source_detector_moments)."""
-    chunks = []
-    off = 0
-    while off < n_rays:
-        n_local = min(chunk_size, n_rays - off)
-        chunks.append((n_local, float(np.mod(off * pt._PHI_FRAC, 1.0)),
-                       off / n_rays))
-        off += n_local
-    return chunks
+def _ray_chunks(spec: FusedLossSpec, chunk_size: int):
+    """[(n_local, phase, k_frac)] covering the global source — kind-aware
+    (pt.source_chunks: extended sources chunk along sub-source boundaries)."""
+    return pt.source_chunks(spec.source_kind, spec.n_rays, spec.n_rays,
+                            spec.n_each, spec.n_sources, chunk_size)
 
 
 def _stats_and_jacobian(
@@ -382,10 +378,15 @@ def _stats_and_jacobian(
     interpret = jax.default_backend() == "cpu"
 
     if mesh is None:
-        chunks = _ray_chunks(spec.n_rays, chunk_size)
+        chunks = _ray_chunks(spec, chunk_size)
     else:
         from ..parallel.mesh import shard_source_offsets
 
+        if spec.source_kind == "extended":
+            raise NotImplementedError(
+                "sharded fused gradients for extended sources need "
+                "sub-source-aligned shard offsets; chunk on a single device "
+                "instead (mesh=None)")
         n_dev = mesh.devices.size
         if spec.n_rays % n_dev:
             raise ValueError("sharded fused gradients need n_rays divisible "
@@ -517,7 +518,7 @@ def fused_focus_loss(params, spec: FusedLossSpec, elements, source_rot,
     tile = block_rows * pt.LANES
     stats = np.zeros(n_stats, np.float64)
     dummy_t = jnp.zeros((1, sprimal.shape[0]), jnp.float32)
-    for n_local, phase, k_frac in _ray_chunks(spec.n_rays, chunk_size):
+    for n_local, phase, k_frac in _ray_chunks(spec, chunk_size):
         n_pad = ((n_local + tile - 1) // tile) * tile
         chunk_arr = jnp.asarray([phase, k_frac], jnp.float32)
         stats += np.asarray(

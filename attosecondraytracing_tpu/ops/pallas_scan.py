@@ -24,9 +24,10 @@ Scalar-vector layout (``svec``, float32): ops/pallas_grad.chain_scalars —
 per element the composed affine (9 + 3), then the detector plane in the
 final element's frame (centre, normal, e1, e2). Auxiliary vector (``aux``):
 [opl_ref, inv_dn_chief, centre_distance, source_radius, weight_coeff,
-phase, k_frac] where ``weight_coeff = ln(gaussian_edge) / radius^2`` (0 for
-uniform weights) and (phase, k_frac) are the > 2^23-ray chunk offsets of the
-global Vogel spiral (ops/pallas_trace._vogel_xy_c).
+phase, k_frac, pos_radius] where ``weight_coeff = ln(gaussian_edge)`` (the
+weight is edge**rr with rr the normalized radial law of
+ops/pallas_trace.synth_source_c; 0 = uniform) and (phase, k_frac) are the
+> 2^23-ray chunk offsets of the global Vogel spiral.
 """
 
 from __future__ import annotations
@@ -44,8 +45,9 @@ from . import pallas_trace as pt
 from .pallas_grad import _unpack_scalars, chain_scalars, n_scalars
 from .trace import TraceState, chained_step
 
-N_AUX = 7
-AUX_OPL_REF, AUX_INV_DN, AUX_CENTRE_D, AUX_RADIUS, AUX_WCOEF, AUX_PHASE, AUX_KFRAC = range(N_AUX)
+N_AUX = 8
+(AUX_OPL_REF, AUX_INV_DN, AUX_CENTRE_D, AUX_RADIUS, AUX_WCOEF, AUX_PHASE,
+ AUX_KFRAC, AUX_POS_RADIUS) = range(N_AUX)
 
 
 class ScanSpec(NamedTuple):
@@ -57,22 +59,27 @@ class ScanSpec(NamedTuple):
     scalars); only centre/surface/support/defects matter and those are
     pose-independent across a scan."""
 
-    source_kind: str   # 'cone' | 'disk'
+    source_kind: str   # 'cone' | 'disk' | 'extended'
     elements: tuple    # pt._static_elements output
     n_total: int       # global ray count (radius law divisor)
     ignore_defects: bool
     block_rows: int
+    n_each: int = 0    # cone rays per sub-source ('extended')
+    n_sources: int = 0
 
 
 def make_scan_spec(source_kind: str, elements, n_total: int,
                    ignore_defects: bool = True,
-                   block_rows: int = pt.MOMENT_BLOCK_ROWS) -> ScanSpec:
+                   block_rows: int = pt.MOMENT_BLOCK_ROWS,
+                   n_each: int = 0, n_sources: int = 0) -> ScanSpec:
     return ScanSpec(
         source_kind=source_kind,
         elements=pt._static_elements(elements),
         n_total=int(n_total),
         ignore_defects=bool(ignore_defects),
         block_rows=int(block_rows),
+        n_each=int(n_each),
+        n_sources=int(n_sources),
     )
 
 
@@ -87,23 +94,18 @@ def _kernel_scan_moments(svec, aux, out, *, spec: ScanSpec, n_rays: int):
     idx = (pl.program_id(0) * block_rows + rows) * pt.LANES + lanes
     kf = idx.astype(jnp.float32)
 
-    radius = aux[AUX_RADIUS]
-    cx, cy = pt._vogel_xy_c(kf, spec.n_total, 1.0, aux[AUX_PHASE], aux[AUX_KFRAC])
-    cx, cy = cx * radius, cy * radius
+    (px, py, pz), (dx, dy, dz), rr = pt.synth_source_c(
+        spec.source_kind, kf, spec.n_total, aux[AUX_RADIUS], aux[AUX_PHASE],
+        aux[AUX_KFRAC], pos_radius=aux[AUX_POS_RADIUS], n_each=spec.n_each,
+        n_sources=spec.n_sources)
     zeros = jnp.zeros(shape, dtype=jnp.float32)
-    ones = jnp.ones(shape, dtype=jnp.float32)
-    if spec.source_kind == "cone":
-        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-        px, py, pz = zeros, zeros, zeros
-        dx, dy, dz = cx * inv, cy * inv, inv
-    else:  # 'disk'
-        px, py, pz = cx, cy, zeros
-        dx, dy, dz = zeros, zeros, ones
-    # Gaussian source profile exp(ln(edge) * r^2/R^2); weight_coeff = 0 gives
-    # exactly 1.0 (uniform) without a separate compile
-    weights = jnp.exp(aux[AUX_WCOEF] * (cx * cx + cy * cy))
+    # Gaussian source profile edge**rr (rr = the normalized radial law);
+    # weight_coeff = ln(edge), 0 gives exactly 1.0 (uniform) with no
+    # separate compile
+    weights = jnp.exp(aux[AUX_WCOEF] * rr)
     s = TraceState(
-        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        px=px + zeros, py=py + zeros, pz=pz + zeros,
+        dx=dx + zeros, dy=dy + zeros, dz=dz + zeros,
         opl=zeros, opl_c=zeros,
         alive=idx < n_rays,
         incidence=zeros,
@@ -163,6 +165,7 @@ def scan_moments(
     gaussian_edge: float | None = None,
     phase: float = 0.0,
     k_frac: float = 0.0,
+    pos_radius: float = 0.0,
 ):
     """The 16 weighted detector moments (float64, pt.MOMENT_FIELDS order) of
     one chain of the scan — same contract as
@@ -172,27 +175,21 @@ def scan_moments(
 
     note_dispatch()
     centre_distance = float(np.float32(centre_distance))
-    wcoef = 0.0 if gaussian_edge is None else float(np.log(gaussian_edge) / radius**2)
+    # weight = edge**rr with rr the normalized radial law (synth_source_c)
+    wcoef = 0.0 if gaussian_edge is None else float(np.log(gaussian_edge))
     interpret = jax.default_backend() == "cpu"
     tile = spec.block_rows * pt.LANES
     svec = jnp.asarray(svec, jnp.float32)
 
     CHUNK = 1 << 23
-    chunks = []
-    off = 0
-    while off < n_rays:
-        n_local = min(CHUNK, n_rays - off)
-        chunks.append((
-            n_local,
-            float(np.mod(float(phase) + off * pt._PHI_FRAC, 1.0)),
-            float(k_frac) + off / spec.n_total,
-        ))
-        off += n_local
+    chunks = pt.source_chunks(spec.source_kind, n_rays, spec.n_total,
+                              spec.n_each, spec.n_sources, CHUNK,
+                              float(phase), float(k_frac))
     moments = np.zeros(pt.LANES, np.float64)
     for n_local, phase_i, k_frac_i in chunks:
         aux = jnp.asarray(
             [opl_ref, inv_dn_chief, centre_distance, radius, wcoef,
-             phase_i, k_frac_i], jnp.float32)
+             phase_i, k_frac_i, pos_radius], jnp.float32)
         n_pad = ((n_local + tile - 1) // tile) * tile
         out = _pallas_scan_moments_padded(svec, aux, spec, interpret,
                                           n_local, n_pad // pt.LANES)
@@ -212,6 +209,7 @@ def make_moments_fn(spec: ScanSpec, elements, source_info, n_rays: int):
     src_rot = np.asarray(baked_src.rot, np.float64)
     src_origin = np.asarray(baked_src.origin, np.float64)
     radius = float(baked_src.radius)
+    pos_radius = float(baked_src.pos_radius)
 
     def moments_fn(det_centre, det_normal, det_rot, gaussian_edge=None,
                    centre_distance=0.0):
@@ -223,7 +221,7 @@ def make_moments_fn(spec: ScanSpec, elements, source_info, n_rays: int):
         moments = scan_moments(
             spec, svec, n_rays, opl_ref, inv_dn_chief,
             centre_distance=centre_distance, radius=radius,
-            gaussian_edge=gaussian_edge,
+            gaussian_edge=gaussian_edge, pos_radius=pos_radius,
         )
         return {
             "moments": moments,
@@ -251,13 +249,17 @@ def pose_independent_signature(elements):
     return tuple(sig)
 
 
-def total_source_weight(n_rays: int, gaussian_edge: float | None) -> float:
-    """Closed-form total source weight Sum_k exp(ln(edge) * k/n) — the
-    transmission denominator for fused scans (the Gaussian profile vs the
-    Vogel radius law is exactly geometric in the ray index; evaluating it as
-    a geometric series stays O(1) at any ray count)."""
+def total_source_weight(n_rays: int, gaussian_edge: float | None,
+                        n_each: int = 0, n_sources: int = 0) -> float:
+    """Closed-form total source weight Sum_k exp(ln(edge) * rr_k) — the
+    transmission denominator for fused scans. For plain spirals rr_k = k/n
+    (geometric series, O(1) at any ray count); for extended sources every
+    sub-source emits the identical cone, so the total is n_sources times
+    the per-cone series."""
     if gaussian_edge is None:
         return float(n_rays)
+    if n_each:
+        return n_sources * total_source_weight(n_each, gaussian_edge)
     c = float(np.log(gaussian_edge) / n_rays)
     # sum_{k=0}^{n-1} e^{ck} = (e^{cn} - 1) / (e^c - 1)
     return float(np.expm1(c * n_rays) / np.expm1(c))

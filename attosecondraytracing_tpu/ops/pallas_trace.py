@@ -307,14 +307,110 @@ def _vogel_xy_c(kf, n_rays: int, radius: float, phase=0.0, k_frac=0.0):
     return -r * co, -r * s   # (r cos theta, r sin theta)
 
 
+def _divmod_exact(kf, n: int):
+    """(q, r) = divmod(kf, n) for exact-integer-valued float ``kf`` < 2^23
+    and integer 64 <= n < 2^22: q comes from a rounded reciprocal product
+    (off by at most one) and is corrected so r = kf - q*n is the EXACT
+    remainder (every product stays exactly representable in float32)."""
+    q = jnp.round(kf * (1.0 / n))
+    r = kf - q * n
+    too_low = r < 0.0
+    q = jnp.where(too_low, q - 1.0, q)
+    r = jnp.where(too_low, r + n, r)
+    too_high = r >= n
+    q = jnp.where(too_high, q + 1.0, q)
+    r = jnp.where(too_high, r - n, r)
+    return q, r
+
+
+def synth_source_c(kind, kf, n_total, radius, phase=0.0, k_frac=0.0, *,
+                   pos_radius=0.0, n_each=0, n_sources=0):
+    """Canonical-frame source synthesis from float ray indices (kernel-safe:
+    float ops only). Returns ``((px,py,pz), (dx,dy,dz), rr)`` where ``rr``
+    is the Gaussian radial-law argument in [0, 1]
+    (ApplyGaussianIntensityToRayList semantics: (tan th / tan div)^2 for
+    diverging sources, (r/R)^2 for plane waves; weight = edge**rr).
+
+    ``kind='extended'``: ray k decodes to (sub-source i, cone ray j) =
+    divmod(k, n_each); ``phase``/``k_frac`` then offset the POSITION spiral
+    (i), so chunked/sharded calls must align chunk boundaries to whole
+    sub-sources. The cone spiral (j) needs no offset — every sub-source
+    emits the identical cone."""
+    zeros = jnp.zeros_like(kf)
+    ones = zeros + 1.0
+
+    def _rr(x, y):  # Gaussian radial law; radius may be a traced scalar
+        return (x * x + y * y) / (jnp.maximum(radius, 1e-300) ** 2)
+
+    if kind == "extended":
+        qi, rj = _divmod_exact(kf, n_each)
+        sx, sy = _vogel_xy_c(qi, n_sources, 1.0, phase, k_frac)
+        sx, sy = sx * pos_radius, sy * pos_radius
+        ax, ay = _vogel_xy_c(rj, n_each, 1.0)
+        ax, ay = ax * radius, ay * radius
+        inv = jax.lax.rsqrt(ax * ax + ay * ay + 1.0)
+        return (sx, sy, zeros), (ax * inv, ay * inv, inv), _rr(ax, ay)
+    cx, cy = _vogel_xy_c(kf, n_total, 1.0, phase, k_frac)
+    cx, cy = cx * radius, cy * radius
+    if kind == "cone":
+        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
+        return (zeros, zeros, zeros), (cx * inv, cy * inv, inv), _rr(cx, cy)
+    # 'disk': parallel rays on the spiral
+    return (cx, cy, zeros), (zeros, zeros, ones), _rr(cx, cy)
+
+
+def source_chunks(kind, n_rays, n_total, n_each=0, n_sources=0,
+                  chunk=1 << 23, phase=0.0, k_frac=0.0):
+    """Kind-aware [(n_local, phase, k_frac)] chunk list covering the global
+    source. Plain spirals chunk at arbitrary ray offsets (exact global
+    golden angle via frac(off * phi)); 'extended' chunks align to whole
+    sub-sources and offset the POSITION spiral instead."""
+    chunks = []
+    if kind == "extended":
+        if n_each >= 1 << 22:
+            raise ValueError(
+                f"extended-source cones of {n_each} rays exceed the exact "
+                f"float div-mod range (2^22); use the streamed trace")
+        per = max(1, chunk // n_each) * n_each
+        off = 0
+        while off < n_rays:
+            i0 = off // n_each
+            chunks.append((
+                min(per, n_rays - off),
+                float(np.mod(float(phase) + i0 * _PHI_FRAC, 1.0)),
+                float(k_frac) + i0 / max(n_sources, 1),
+            ))
+            off += per
+        return chunks
+    off = 0
+    while off < n_rays:
+        n_local = min(chunk, n_rays - off)
+        chunks.append((
+            n_local,
+            float(np.mod(float(phase) + off * _PHI_FRAC, 1.0)),
+            float(k_frac) + off / n_total,
+        ))
+        off += n_local
+    return chunks
+
+
 class BakedSource(NamedTuple):
     """Compile-time description of an in-kernel source (canonical frame:
-    beam along +z; ``rot``/``origin`` place it in the lab)."""
+    beam along +z; ``rot``/``origin`` place it in the lab).
 
-    kind: str       # 'cone' (point source) | 'disk' (plane-wave disk)
+    ``kind='extended'`` (ART ExtendedSource, ModuleSource.py:85-131) is a
+    Vogel grid of ``n_sources`` point sources over a disk of radius
+    ``pos_radius``, each emitting the SAME ``n_each``-ray cone of
+    half-divergence atan(``radius``): ray k decodes into (source i, cone
+    ray j) = divmod(k, n_each) in-kernel with an exact float div-mod."""
+
+    kind: str       # 'cone' (point source) | 'disk' (plane-wave disk) | 'extended'
     rot: tuple      # 3x3 canonical->lab rotation
     origin: tuple   # lab-frame source point / disk centre
-    radius: float   # tan(divergence) for 'cone', beam radius [mm] for 'disk'
+    radius: float   # tan(divergence) for 'cone'/'extended', beam radius [mm] for 'disk'
+    pos_radius: float = 0.0   # source-disk radius [mm] ('extended')
+    n_each: int = 0           # cone rays per sub-source ('extended')
+    n_sources: int = 0        # sub-source count ('extended')
 
 
 def _source_maps(source: BakedSource, elements):
@@ -356,18 +452,14 @@ def _kernel_source(scalars, *outs, source, elements, maps, final, premasks,
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = (pl.program_id(0) * block_rows + rows) * LANES + lanes
     kf = idx.astype(jnp.float32)
-    cx, cy = _vogel_xy_c(kf, n_total, source.radius, scalars[0], scalars[1])
+    (px, py, pz), (dx, dy, dz), _rr = synth_source_c(
+        source.kind, kf, n_total, source.radius, scalars[0], scalars[1],
+        pos_radius=source.pos_radius, n_each=source.n_each,
+        n_sources=source.n_sources)
     zeros = jnp.zeros(shape, dtype=jnp.float32)
-    ones = jnp.ones(shape, dtype=jnp.float32)
-    if source.kind == "cone":
-        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-        px, py, pz = zeros, zeros, zeros
-        dx, dy, dz = cx * inv, cy * inv, inv
-    else:  # 'disk': parallel rays on the spiral
-        px, py, pz = cx, cy, zeros
-        dx, dy, dz = zeros, zeros, ones
     s = TraceState(
-        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        px=px + zeros, py=py + zeros, pz=pz + zeros,
+        dx=dx + zeros, dy=dy + zeros, dz=dz + zeros,
         opl=zeros, opl_c=zeros,
         alive=idx < n_rays,
         incidence=zeros,
@@ -407,22 +499,33 @@ def _pallas_trace_source_padded(phase, k_frac, source, elements, maps, final,
                  jnp.asarray(k_frac, jnp.float32)]))
 
 
-def make_source_spec(kind: str, S, Axis, param: float) -> BakedSource:
+def make_source_spec(kind: str, S, Axis, param: float, diameter: float = 0.0,
+                     n_rays: int = 0) -> BakedSource:
     """BakedSource from reference-style source arguments.
 
     ``kind='cone'``: point source at ``S`` with half-divergence ``param``
     [rad] (ART PointSource, ModuleSource.py:54-81). ``kind='disk'``:
     plane-wave disk of radius ``param`` [mm] centred at ``S`` (ART
-    PlaneWaveDisk, ModuleSource.py:135-169)."""
+    PlaneWaveDisk, ModuleSource.py:135-169). ``kind='extended'``: Vogel grid
+    of point sources over a disk of ``diameter``, each a ``param``-rad cone
+    (ART ExtendedSource, ModuleSource.py:85-131 — same sub-source count
+    heuristics as models.sources.ExtendedSource, which need ``n_rays``)."""
     from .host_geometry import rotation_from_to
 
     axis = np.asarray(Axis, dtype=np.float64)
     axis = axis / np.linalg.norm(axis)
     # canonical->lab: p_lab = R p_c (sources._finish applies points @ R.T)
     rot = rotation_from_to(np.array([0.0, 0.0, 1.0]), axis)
+    base = dict(rot=bake(rot), origin=bake(np.asarray(S, float)))
+    if kind == "extended":
+        from .host_geometry import extended_source_counts
+
+        n_sources, n_each = extended_source_counts(diameter, n_rays)
+        return BakedSource(kind=kind, radius=float(np.tan(param)),
+                           pos_radius=float(diameter) / 2.0,
+                           n_each=n_each, n_sources=n_sources, **base)
     radius = float(np.tan(param)) if kind == "cone" else float(param)
-    return BakedSource(kind=kind, rot=bake(rot), origin=bake(np.asarray(S, float)),
-                       radius=radius)
+    return BakedSource(kind=kind, radius=radius, **base)
 
 
 def source_bundle(spec: BakedSource, n_rays: int, wavelength=50e-6, phase=0.0,
@@ -431,16 +534,13 @@ def source_bundle(spec: BakedSource, n_rays: int, wavelength=50e-6, phase=0.0,
     synthesizes (same float32 formulas), for tests and for consumers that
     need the source side (e.g. the transmission denominator)."""
     kf = jnp.arange(n_rays, dtype=jnp.float32)
-    cx, cy = _vogel_xy_c(kf, n_total or n_rays, spec.radius, jnp.float32(phase),
-                         jnp.float32(k_frac))
+    (px, py, pz), (dx, dy, dz), _rr = synth_source_c(
+        spec.kind, kf, n_total or n_rays, spec.radius, jnp.float32(phase),
+        jnp.float32(k_frac), pos_radius=spec.pos_radius, n_each=spec.n_each,
+        n_sources=spec.n_sources)
     zeros = jnp.zeros((n_rays,), dtype=jnp.float32)
-    if spec.kind == "cone":
-        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-        p = jnp.zeros((n_rays, 3), dtype=jnp.float32)
-        d = jnp.stack([cx * inv, cy * inv, inv], axis=-1)
-    else:
-        p = jnp.stack([cx, cy, zeros], axis=-1)
-        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n_rays, 3))
+    p = jnp.stack([px + zeros, py + zeros, pz + zeros], axis=-1)
+    d = jnp.stack([dx + zeros, dy + zeros, dz + zeros], axis=-1)
     rot = jnp.asarray(spec.rot, jnp.float32)
     origin = jnp.asarray(spec.origin, jnp.float32)
     return RayBundle(
@@ -758,23 +858,19 @@ def _synth_traced_state(scalars, source, elements, maps, premasks, n_rays,
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = (pl.program_id(0) * block_rows + rows) * LANES + lanes
     kf = idx.astype(jnp.float32)
-    cx, cy = _vogel_xy_c(kf, n_total, source.radius, scalars[0], scalars[1])
+    (px, py, pz), (dx, dy, dz), rr = synth_source_c(
+        source.kind, kf, n_total, source.radius, scalars[0], scalars[1],
+        pos_radius=source.pos_radius, n_each=source.n_each,
+        n_sources=source.n_sources)
     zeros = jnp.zeros(shape, dtype=jnp.float32)
     ones = jnp.ones(shape, dtype=jnp.float32)
-    if source.kind == "cone":
-        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-        px, py, pz = zeros, zeros, zeros
-        dx, dy, dz = cx * inv, cy * inv, inv
-    else:
-        px, py, pz = cx, cy, zeros
-        dx, dy, dz = zeros, zeros, ones
     if gaussian_edge is None:
         weights = ones
     else:
-        rr = (cx * cx + cy * cy) * (1.0 / source.radius**2)
         weights = jnp.exp(float(np.log(gaussian_edge)) * rr)
     s = TraceState(
-        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        px=px + zeros, py=py + zeros, pz=pz + zeros,
+        dx=dx + zeros, dy=dy + zeros, dz=dz + zeros,
         opl=zeros, opl_c=zeros,
         alive=idx < n_rays,
         incidence=zeros,
@@ -1020,16 +1116,9 @@ def pallas_source_detector_moments(
     else:
         if not isinstance(phase, (int, float)) or not isinstance(k_frac, (int, float)):
             raise ValueError("chunked (>2^23 ray) scans need python-float phase/k_frac")
-        chunks = []
-        off = 0
-        while off < n_rays:
-            n_local = min(CHUNK, n_rays - off)
-            chunks.append((
-                n_local,
-                float(np.mod(float(phase) + off * _PHI_FRAC, 1.0)),
-                float(k_frac) + off / n_total,
-            ))
-            off += n_local
+        chunks = source_chunks(spec.kind, n_rays, n_total, spec.n_each,
+                               spec.n_sources, CHUNK, float(phase),
+                               float(k_frac))
     tile = block_rows * LANES
 
     @partial(jax.jit, static_argnames=("n_local", "rows"))

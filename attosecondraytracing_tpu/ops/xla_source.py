@@ -65,28 +65,24 @@ def _source_inputs(spec: pt.BakedSource, elements):
     return tuple(elements), maps, final, premasks
 
 
-@partial(jax.jit, static_argnames=("kind", "n_rays", "n_total",
-                                   "ignore_defects", "want_moments"))
+@partial(jax.jit, static_argnames=("kind", "n_rays", "n_total", "n_each",
+                                   "n_sources", "ignore_defects",
+                                   "want_moments"))
 def _xla_source_run(elements, maps, final, premasks, det, kind, radius,
-                    phase, k_frac, wcoef, centre_distance, n_rays, n_total,
-                    ignore_defects, want_moments):
+                    phase, k_frac, wcoef, centre_distance, pos_radius,
+                    n_rays, n_total, n_each, n_sources, ignore_defects,
+                    want_moments):
     """Synthesize + trace (+ optionally reduce to moments) in one jit."""
     from .trace import TraceState
 
     kf = jnp.arange(n_rays, dtype=jnp.float32)
-    cx, cy = pt._vogel_xy_c(kf, n_total, 1.0, phase, k_frac)
-    cx, cy = cx * radius, cy * radius
+    (px, py, pz), (dx, dy, dz), rr = pt.synth_source_c(
+        kind, kf, n_total, radius, phase, k_frac, pos_radius=pos_radius,
+        n_each=n_each, n_sources=n_sources)
     zeros = jnp.zeros((n_rays,), jnp.float32)
-    ones = jnp.ones((n_rays,), jnp.float32)
-    if kind == "cone":
-        inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
-        px, py, pz = zeros, zeros, zeros
-        dx, dy, dz = cx * inv, cy * inv, inv
-    else:
-        px, py, pz = cx, cy, zeros
-        dx, dy, dz = zeros, zeros, ones
     s = TraceState(
-        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        px=px + zeros, py=py + zeros, pz=pz + zeros,
+        dx=dx + zeros, dy=dy + zeros, dz=dz + zeros,
         opl=zeros, opl_c=zeros,
         alive=jnp.ones((n_rays,), bool),
         incidence=zeros,
@@ -103,7 +99,7 @@ def _xla_source_run(elements, maps, final, premasks, det, kind, radius,
     for el, (M, b), pre in zip(elements, maps, premasks):
         s = chained_step(el, M, b, s, want_incidence=False,
                          ignore_defects=ignore_defects, premasks=pre)
-    weights = jnp.exp(wcoef * (cx * cx + cy * cy))
+    weights = jnp.exp(wcoef * rr)  # edge**rr, the normalized radial law
     rows = pt.moment_rows(s, det, weights, centre_distance=centre_distance)
     return rows[0]  # (LANES,) — row 0 carries the 16 sums
 
@@ -133,7 +129,8 @@ def xla_trace_source(
     s = _xla_source_run(
         els, maps, final, premasks, dummy_det, spec.kind,
         jnp.float32(spec.radius), jnp.float32(phase), jnp.float32(k_frac),
-        jnp.float32(0.0), jnp.float32(0.0), n_rays, n_total or n_rays,
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(spec.pos_radius),
+        n_rays, n_total or n_rays, spec.n_each, spec.n_sources,
         ignore_defects, False,
     )
     zeros = jnp.zeros((n_rays,), jnp.float32)
@@ -169,25 +166,23 @@ def xla_source_moments(
     det = pt.bake_detector(elements, det_centre, det_normal, det_rot,
                            opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
     els, maps, final, premasks = _source_inputs(spec, elements)
-    wcoef = (0.0 if gaussian_edge is None
-             else float(np.log(gaussian_edge) / spec.radius**2))
+    # weight = edge**rr, rr the normalized radial law (synth_source_c)
+    wcoef = 0.0 if gaussian_edge is None else float(np.log(gaussian_edge))
 
     CHUNK = 1 << 23
     moments = np.zeros(pt.LANES, np.float64)
-    off = 0
     n_total = n_rays
-    while off < n_rays:
-        n_local = min(CHUNK, n_rays - off)
+    for n_local, phase_i, k_frac_i in pt.source_chunks(
+            spec.kind, n_rays, n_total, spec.n_each, spec.n_sources, CHUNK):
         row = _xla_source_run(
             els, maps, final, premasks, det, spec.kind,
-            jnp.float32(spec.radius),
-            jnp.float32(np.mod(off * pt._PHI_FRAC, 1.0)),
-            jnp.float32(off / n_total), jnp.float32(wcoef),
-            jnp.float32(centre_distance), n_local, n_total,
+            jnp.float32(spec.radius), jnp.float32(phase_i),
+            jnp.float32(k_frac_i), jnp.float32(wcoef),
+            jnp.float32(centre_distance), jnp.float32(spec.pos_radius),
+            n_local, n_total, spec.n_each, spec.n_sources,
             ignore_defects, True,
         )
         moments += np.asarray(row, np.float64)
-        off += n_local
     return {
         "moments": moments[: len(pt.MOMENT_FIELDS)],
         "opl_ref": opl_ref,

@@ -202,6 +202,10 @@ def source_stats_sharded(
 
     shard_map = jax.shard_map
 
+    if getattr(spec, "kind", None) == "extended":
+        raise NotImplementedError(
+            "sharded stats for extended sources need sub-source-aligned "
+            "shard offsets; use the single-device chunked path")
     n_dev = mesh.devices.size
     n_local, phases, k_fracs = shard_source_offsets(n_total, n_dev)
 

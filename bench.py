@@ -269,7 +269,38 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
             acc = acc + out.sum()
         return acc
 
+    # --- runtime-scalar scan kernel: poses as SMEM scalars ------------------
+    # (the parameter-scan engine, ops/pallas_scan.py: one compile serves a
+    # whole structurally-uniform scan; A/B'd against the baked moment kernel)
+    from attosecondraytracing_tpu.ops import pallas_scan as psn
+
+    scan_spec = psn.make_scan_spec("cone", elements, n_rays)
+    svec = jnp.asarray(psn.scan_chain_scalars(
+        elements, np.asarray(spec.rot), np.zeros(3), det.centre, det.normal,
+        det._plane_rotation()))
+    aux_base = np.array(
+        [opl_ref, inv_dn_chief, 0.0, np.tan(DIVERGENCE), 0.0, 0.0, 0.0, 0.0],
+        np.float32)
+    aux_j = jnp.asarray(aux_base)
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def step_scan_rt(phase, reps: int):
+        acc = jnp.asarray(0.0, jnp.float32)
+        for i in range(reps):
+            aux_i = aux_j.at[psn.AUX_PHASE].set(phase + i * 1e-7)
+            out = psn._pallas_scan_moments_padded(
+                svec, aux_i, scan_spec, jax.default_backend() == "cpu",
+                n_rays, n_pad_s // pt.LANES)
+            acc = acc + out.sum()
+        return acc
+
     results = {}
+    results["scan_rt"] = _slope_time(step_scan_rt, jnp.float32(0.0),
+                                     rounds=iters, verbose=verbose,
+                                     label="scan_rt")
+    if verbose:
+        print(f"# scan_rt (runtime-scalar poses): "
+              f"{results['scan_rt']*1e3:.3f} ms/pass", file=sys.stderr)
     results["scan20"] = _slope_time(step_scan, jnp.float32(0.0), rounds=iters,
                                     verbose=verbose, label="scan20")
     if verbose:
@@ -289,7 +320,8 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
     if verbose:
         print(f"# xla:    {results['xla']*1e3:.3f} ms/trace", file=sys.stderr)
 
-    trace_paths = {k: v for k, v in results.items() if k != "scan20"}
+    trace_paths = {k: v for k, v in results.items()
+                   if k not in ("scan20", "scan_rt")}
     path, dt = min(trace_paths.items(), key=lambda kv: kv[1])
     rays_per_s = n_rays / dt
     print(
@@ -307,6 +339,9 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
                 # statistics at 20 detector distances in one pass
                 "scan20_ms": results["scan20"] * 1e3,
                 "scan20_ray_distance_evals_per_s": 20 * n_rays / results["scan20"],
+                # runtime-scalar-pose scan kernel (ops/pallas_scan): the
+                # parameter-scan engine's per-chain kernel pass
+                "scan_runtime_scalar_ms": results["scan_rt"] * 1e3,
                 # compile budget [s]: mosaic_warmup is the one-time
                 # per-process toolchain cost; per-path entries are the real
                 # kernel compile+first-run times (regressions show up here)
