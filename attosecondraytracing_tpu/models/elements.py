@@ -154,12 +154,18 @@ class OpticalElement:
                 defects=defects,
             )
         if dtype is not None:
-            # surface/support scalars are python floats (weakly typed); under
-            # an explicit dtype request cast every float leaf so the whole
-            # trace runs in that dtype even on an x64 backend
+            # cast ARRAY float leaves (defect grids etc.); python-float
+            # scalars stay weakly typed at full precision — they follow the
+            # bundle dtype inside jit without pre-rounding the geometry
+            # (pre-rounding a toroid radius to f32 moves the surface by
+            # ~0.5 um and doubles the f32 delay noise floor)
             import jax
 
             def _cast(x):
+                if isinstance(x, (float, np.floating)):
+                    return float(x)  # builtin = weakly typed, full precision
+                if isinstance(x, (int, np.integer)):
+                    return int(x)
                 a = np.asarray(x)
                 return a.astype(dtype) if np.issubdtype(a.dtype, np.floating) else a
 
