@@ -52,14 +52,19 @@ def _perturb_one(element, angles, shifts):
     """Apply (pitch, roll, yaw) rotations about the element's (cross, major,
     normal) axes and shifts along (normal, major, cross) — differentiable
     device-side counterpart of rotate_*_by/shift_along_*."""
+    import jax
+
     rot = element.rot  # rows: majoraxis, cross(=n x m), normal (lab frame)
     m, c, n = rot[0], rot[1], rot[2]
-    R_delta = (
-        rotation_around_axis(c, angles[0])
-        @ rotation_around_axis(m, angles[1])
-        @ rotation_around_axis(n, angles[2])
-    )
-    new_rot = rot @ R_delta.T
+    # full-f32 matmuls: the TPU bf16 default would perturb the composed pose
+    # by ~1e-3 — far above any alignment parameter being optimized
+    with jax.default_matmul_precision("float32"):
+        R_delta = (
+            rotation_around_axis(c, angles[0])
+            @ rotation_around_axis(m, angles[1])
+            @ rotation_around_axis(n, angles[2])
+        )
+        new_rot = rot @ R_delta.T
     new_pos = element.position + shifts[0] * n + shifts[1] * m + shifts[2] * c
     return element._replace(rot=new_rot, position=new_pos)
 

@@ -372,13 +372,20 @@ def _x64_refine_distance(spec, elements, n_rays, det, OptFor, amplitude,
         bundle = msource.ApplyGaussianIntensityToRayList(bundle, gaussian_edge)
     try:
         with enable_x64():
-            from ..ops.trace import trace
+            # packed jitted trace: the executable is cached across the
+            # chains of a scan (a fresh jit(lambda...) here used to pay a
+            # full f64 recompile per refining chain — ~80 s each on TPU)
+            from ..ops.trace import trace_jit
 
-            out = jax.jit(
-                lambda b: trace(b, elements, keep_history=False)
-            )(jax.tree.map(lambda x: np.asarray(x, np.float64)
-                           if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
-                           bundle))
+            out = trace_jit(
+                jax.tree.map(lambda x: np.asarray(x, np.float64)
+                             if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                             bundle),
+                jax.tree.map(lambda x: np.asarray(x, np.float64)
+                             if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                             elements),
+                keep_history=False,
+            )
             det2, spot, duration = FindOptimalDistance(
                 det, out, OptFor, Amplitude=float(amplitude), Precision=2,
                 IntensityWeighted=gaussian_edge is not None, verbose=False,

@@ -11,6 +11,7 @@ for free.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.bundle import RayBundle
@@ -98,7 +99,11 @@ def detector_points_2d(bundle: RayBundle, centre, normal, rot):
     host-precomputed rotation taking ``normal`` -> ez (RotationPointList
     convention)."""
     pts3, _ = detector_points_3d(bundle, centre, normal)
-    local = (pts3 - centre) @ rot.T
+    # full-f32 matmul precision: the TPU default (bfloat16 passes) would add
+    # ~4e-3-relative noise to the in-plane coordinates — micrometres on a
+    # millimetre-offset spot, swamping micron-scale foci
+    local = jnp.matmul(pts3 - centre, rot.T,
+                       precision=jax.lax.Precision.HIGHEST)
     return local[:, :2]
 
 

@@ -42,7 +42,10 @@ def rotation_around_axis(axis, angle):
     K = jnp.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]], dtype=k.dtype)
     eye = jnp.eye(3, dtype=k.dtype)
     s, c = jnp.sin(angle), jnp.cos(angle)
-    return eye + s * K + (1.0 - c) * (K @ K)
+    # full-f32 matmul: the TPU bf16 default would put ~1e-3 error on
+    # rotation entries (~0.5 mm of traced-geometry displacement per 500 mm)
+    KK = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
+    return eye + s * K + (1.0 - c) * KK
 
 
 def frame_rotation(normal, majoraxis):

@@ -92,6 +92,63 @@ def compose_chain_jnp(rots, positions, centres):
     return maps, final
 
 
+def chain_scalars_np(elements, source_rot, source_origin, det_centre,
+                     det_normal, det_rot):
+    """Float64 host-NumPy twin of :func:`chain_scalars` (same layout, f32
+    output) for CONCRETE poses — the production path for scans and gradient
+    primals.
+
+    Why not the jnp version for concrete inputs: it composes the affines in
+    the ambient on-device precision — float32 eagerly on a TPU — and the
+    runtime-scalar kernels are as sensitive to the composed ``b`` offsets as
+    the baked kernels are (which compose in host float64 for exactly this
+    reason, ops/trace.compose_chain). Measured on the axon tunnel: an
+    eagerly-composed f32 svec corrupted the detector moments by tens of
+    percent, the f64-composed one matches the baked kernel."""
+    from .trace import MirrorElement as ME
+    from .trace import compose_chain
+
+    maps, (R_K, pos_K) = compose_chain(elements)
+    Rs = np.asarray(source_rot, np.float64)
+    origin = np.asarray(source_origin, np.float64)
+    pos0 = np.asarray(elements[0].position, np.float64)
+    cen0 = (np.asarray(elements[0].centre, np.float64)
+            if isinstance(elements[0], ME) else np.zeros(3))
+    M0, _b0 = maps[0]
+    maps = [(np.asarray(M0) @ Rs,
+             np.asarray(M0) @ (origin - pos0) + cen0)] + [
+        (np.asarray(M), np.asarray(b)) for M, b in maps[1:]]
+    parts = []
+    for M, b in maps:
+        parts.append(np.asarray(M).reshape(-1))
+        parts.append(np.asarray(b))
+    c_rel = R_K @ (np.asarray(det_centre, np.float64) - pos_K)
+    n_rel = R_K @ np.asarray(det_normal, np.float64)
+    rot = np.asarray(det_rot, np.float64)
+    parts += [c_rel, n_rel, R_K @ rot[0], R_K @ rot[1]]
+    return np.concatenate(parts).astype(np.float32)
+
+
+def _apply_params_np(elements, params):
+    """Float64 host twin of analysis.alignment.apply_params (pose
+    perturbation by AlignmentParams) — feeds :func:`chain_scalars_np`."""
+    from .host_geometry import rotation_around_axis as rot_axis
+
+    angles = np.asarray(params.angles, np.float64)
+    shifts = np.asarray(params.shifts, np.float64)
+    out = []
+    for k, el in enumerate(elements):
+        rot = np.asarray(el.rot, np.float64)
+        m, c, n = rot[0], rot[1], rot[2]
+        R_delta = (rot_axis(c, angles[k, 0]) @ rot_axis(m, angles[k, 1])
+                   @ rot_axis(n, angles[k, 2]))
+        new_rot = rot @ R_delta.T
+        new_pos = (np.asarray(el.position, np.float64)
+                   + shifts[k, 0] * n + shifts[k, 1] * m + shifts[k, 2] * c)
+        out.append(el._replace(rot=new_rot, position=new_pos))
+    return out
+
+
 def chain_scalars(elements, source_rot, source_origin, det_centre, det_normal,
                   det_rot):
     """Flat (n_scalars,) array of every pose-dependent kernel constant, as a
@@ -101,27 +158,35 @@ def chain_scalars(elements, source_rot, source_origin, det_centre, det_normal,
     ``b_k`` (3); then the detector in the final frame: centre (3), normal
     (3), e1 (3), e2 (3). The first element's map has the source frame folded
     in (pt._source_maps semantics: canonical source coords -> element 0
-    surface frame)."""
-    rots = [jnp.asarray(el.rot) for el in elements]
-    poss = [jnp.asarray(el.position) for el in elements]
-    cens = [
-        jnp.asarray(el.centre) if isinstance(el, MirrorElement) else jnp.zeros(3)
-        for el in elements
-    ]
-    maps, (R_K, pos_K) = compose_chain_jnp(rots, poss, cens)
-    Rs = jnp.asarray(source_rot)
-    origin = jnp.asarray(source_origin)
-    M0, _b0 = maps[0]
-    maps[0] = (M0 @ Rs, M0 @ (origin - poss[0]) + cens[0])
-    parts = []
-    for M, b in maps:
-        parts.append(M.reshape(-1))
-        parts.append(b)
-    c_rel = R_K @ (jnp.asarray(det_centre) - pos_K)
-    n_rel = R_K @ jnp.asarray(det_normal)
-    rot = jnp.asarray(det_rot)
-    parts += [c_rel, n_rel, R_K @ rot[0], R_K @ rot[1]]
-    return jnp.concatenate(parts).astype(jnp.float32)
+    surface frame). For CONCRETE poses use :func:`chain_scalars_np` (this
+    jnp version exists for its differentiability — the tangent vectors of
+    the fused gradient engine).
+
+    The whole composition runs under full-f32 matmul precision: TPU matmuls
+    default to bfloat16 passes, whose ~1e-3 error on a composed rotation
+    entry displaces the traced geometry by ~0.5 mm (measured on hardware —
+    it corrupted the runtime-scalar moments by tens of percent)."""
+    with jax.default_matmul_precision("float32"):
+        rots = [jnp.asarray(el.rot) for el in elements]
+        poss = [jnp.asarray(el.position) for el in elements]
+        cens = [
+            jnp.asarray(el.centre) if isinstance(el, MirrorElement) else jnp.zeros(3)
+            for el in elements
+        ]
+        maps, (R_K, pos_K) = compose_chain_jnp(rots, poss, cens)
+        Rs = jnp.asarray(source_rot)
+        origin = jnp.asarray(source_origin)
+        M0, _b0 = maps[0]
+        maps[0] = (M0 @ Rs, M0 @ (origin - poss[0]) + cens[0])
+        parts = []
+        for M, b in maps:
+            parts.append(M.reshape(-1))
+            parts.append(b)
+        c_rel = R_K @ (jnp.asarray(det_centre) - pos_K)
+        n_rel = R_K @ jnp.asarray(det_normal)
+        rot = jnp.asarray(det_rot)
+        parts += [c_rel, n_rel, R_K @ rot[0], R_K @ rot[1]]
+        return jnp.concatenate(parts).astype(jnp.float32)
 
 
 def _unpack_scalars(scal, n_elements):
@@ -482,9 +547,14 @@ def fused_focus_value_and_grad(
     def scal_flat(fp):
         return scalars_of(unravel(fp))
 
-    sprimal = scal_flat(flat_params)
-    # host-side Jacobian of the (tiny) pose-scalarization: (P, n_scalars)
-    stangents = jax.jacfwd(scal_flat)(flat_params).T
+    # PRIMAL scalars in float64 on the host (chain_scalars_np): the kernels
+    # are as sensitive to the composed affine offsets as the baked kernels,
+    # which compose in f64 for exactly this reason. Tangents (directions,
+    # relative accuracy suffices) come from the jitted jnp Jacobian.
+    sprimal = jnp.asarray(chain_scalars_np(
+        _apply_params_np(elements, params), source_rot, source_origin,
+        det_centre, det_normal, det_rot))
+    stangents = jax.jit(jax.jacfwd(scal_flat))(flat_params).T
 
     p_stats, t_stats = _stats_and_jacobian(
         sprimal, jnp.asarray(stangents, jnp.float32), spec, block_rows,
@@ -505,15 +575,10 @@ def fused_focus_loss(params, spec: FusedLossSpec, elements, source_rot,
                      chunk_size: int = GRAD_CHUNK):
     """Loss only (primal kernel passes — for line searches / evaluation);
     chunked beyond 2^23 rays like the gradient."""
-    from ..analysis.alignment import apply_params
-
-    def scalars_of(p):
-        perturbed = apply_params(elements, p)
-        return chain_scalars(perturbed, source_rot, source_origin,
-                             det_centre, det_normal, det_rot)
-
     interpret = jax.default_backend() == "cpu"
-    sprimal = scalars_of(params)
+    sprimal = jnp.asarray(chain_scalars_np(
+        _apply_params_np(elements, params), source_rot, source_origin,
+        det_centre, det_normal, det_rot))
     n_stats = len(pt.STATS_FIELDS)
     tile = block_rows * pt.LANES
     stats = np.zeros(n_stats, np.float64)

@@ -147,11 +147,16 @@ def _pallas_scan_moments_padded(svec, aux, spec, interpret, n_rays, rows):
 
 def scan_chain_scalars(elements, source_rot, source_origin, det_centre,
                        det_normal, det_rot):
-    """Per-chain pose scalar vector (float32 NumPy) — a thin host wrapper
-    over ops/pallas_grad.chain_scalars (same layout the gradient kernel
-    uses), evaluated on actual device-element pose leaves."""
-    return np.asarray(chain_scalars(elements, source_rot, source_origin,
-                                    det_centre, det_normal, det_rot))
+    """Per-chain pose scalar vector (float32 NumPy): the float64 host-NumPy
+    scalarization (ops/pallas_grad.chain_scalars_np — same layout the
+    gradient kernel uses), evaluated on actual device-element pose leaves.
+    Composing in f64 on the HOST matters: the affine offsets ``b`` need the
+    same composition precision the baked kernels get from
+    trace.compose_chain, and host math avoids eager device round trips."""
+    from .pallas_grad import chain_scalars_np
+
+    return chain_scalars_np(elements, source_rot, source_origin,
+                            det_centre, det_normal, det_rot)
 
 
 def scan_moments(

@@ -543,9 +543,12 @@ def source_bundle(spec: BakedSource, n_rays: int, wavelength=50e-6, phase=0.0,
     d = jnp.stack([dx + zeros, dy + zeros, dz + zeros], axis=-1)
     rot = jnp.asarray(spec.rot, jnp.float32)
     origin = jnp.asarray(spec.origin, jnp.float32)
+    # full-f32 matmul: the TPU bf16 default would tilt probe rays by ~1e-3
+    # rad, throwing the chief-ray reference path off by millimetres
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     return RayBundle(
-        p=p @ rot.T + origin,
-        d=d @ rot.T,
+        p=mm(p, rot.T) + origin,
+        d=mm(d, rot.T),
         opl=zeros, opl_c=zeros,
         alive=jnp.ones((n_rays,), dtype=bool),
         intensity=jnp.ones((n_rays,), dtype=jnp.float32),
