@@ -166,3 +166,41 @@ def test_total_source_weight_closed_form():
     direct = float(np.exp(np.log(edge) * np.arange(n) / n).sum())
     assert ps.total_source_weight(n, edge) == pytest.approx(direct, rel=1e-12)
     assert ps.total_source_weight(n, None) == n
+
+
+def test_scan_scalars_composed_in_float64(base):
+    """Contract (hardware regression, bf16-matmul bug): the pose scalar
+    vector must equal an independent float64 composition to f32-storage
+    precision. On a TPU, eager jnp composition runs bf16 matmul passes whose
+    ~1e-3 rotation errors displace the traced geometry by ~0.5 mm."""
+    from attosecondraytracing_tpu.ops.trace import MirrorElement, compose_chain
+
+    chain, elements, det, spec = base
+    baked_src = chain.source_spec.baked()
+    Rs = np.asarray(baked_src.rot, np.float64)
+    origin = np.asarray(baked_src.origin, np.float64)
+    det_rot = det._plane_rotation()
+    svec = ps.scan_chain_scalars(elements, Rs, origin, det.centre,
+                                 det.normal, det_rot)
+
+    maps, (R_K, pos_K) = compose_chain(elements)
+    pos0 = np.asarray(elements[0].position, np.float64)
+    cen0 = (np.asarray(elements[0].centre, np.float64)
+            if isinstance(elements[0], MirrorElement) else np.zeros(3))
+    M0, _b0 = maps[0]
+    maps = [(np.asarray(M0) @ Rs, np.asarray(M0) @ (origin - pos0) + cen0)] + [
+        (np.asarray(M), np.asarray(b)) for M, b in maps[1:]]
+    parts = []
+    for M, b in maps:
+        parts.append(np.asarray(M).reshape(-1))
+        parts.append(np.asarray(b))
+    c_rel = R_K @ (np.asarray(det.centre, np.float64) - pos_K)
+    n_rel = R_K @ np.asarray(det.normal, np.float64)
+    rot = np.asarray(det_rot, np.float64)
+    parts += [c_rel, n_rel, R_K @ rot[0], R_K @ rot[1]]
+    ref64 = np.concatenate(parts)
+
+    assert svec.dtype == np.float32
+    # f32 storage of exact f64 values: error <= 1 ulp of each entry
+    ulp = np.maximum(np.abs(ref64), 1.0) * 1.2e-7
+    np.testing.assert_array_less(np.abs(svec - ref64), ulp + 1e-12)
