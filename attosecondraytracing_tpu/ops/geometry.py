@@ -10,6 +10,7 @@ Host-side (NumPy, float64) counterparts used for scene *construction* live in
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
