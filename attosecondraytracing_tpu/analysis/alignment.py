@@ -28,7 +28,7 @@ import numpy as np
 from ..analysis import stats
 from ..ops.bundle import RayBundle
 from ..ops.geometry import rotation_around_axis
-from ..ops.trace import MaskElement, MirrorElement, trace
+from ..ops.trace import trace
 
 
 class AlignmentParams(NamedTuple):

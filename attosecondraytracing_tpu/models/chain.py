@@ -13,7 +13,6 @@ from __future__ import annotations
 import copy
 import os
 import sys
-from functools import partial
 from typing import NamedTuple
 
 import jax
