@@ -204,3 +204,56 @@ def test_scan_scalars_composed_in_float64(base):
     # f32 storage of exact f64 values: error <= 1 ulp of each entry
     ulp = np.maximum(np.abs(ref64), 1.0) * 1.2e-7
     np.testing.assert_array_less(np.abs(svec - ref64), ulp + 1e-12)
+
+
+def test_scan_kernel_divergence_axis(base):
+    """The source divergence is a runtime aux scalar: a divergence scan
+    evaluates through the SAME ScanSpec (no recompile) and matches the baked
+    kernel re-baked at the new divergence."""
+    chain, elements, det, spec = base
+    mod = chain.get_source_loop_list("divergence", [32e-3])[0]
+    assert mod.source_spec is not None and mod.source_spec.param == 32e-3
+    els = _f32_elements(mod)
+    mom_ref = pt.pallas_source_detector_moments(
+        mod.source_spec.baked(), els, N, det.centre, det.normal,
+        det._plane_rotation())
+    fn = ps.make_moments_fn(spec, els, mod.source_spec, N)
+    mom_scan = fn(det.centre, det.normal, det._plane_rotation())
+    _assert_stats_close(_stats_of_moments(mom_scan, DISTANCES),
+                        _stats_of_moments(mom_ref, DISTANCES))
+
+
+def test_driver_fused_scan_monte_carlo(monkeypatch):
+    """Monte-Carlo tolerancing (every element randomly rotated AND shifted,
+    masks included) routes through the fused scan engine and matches the
+    legacy per-chain path — the all-pose-scalars stress case."""
+    from attosecondraytracing_tpu import main as amain
+    from attosecondraytracing_tpu.models import chain as mchain
+
+    monkeypatch.setattr(mchain, "PALLAS_MIN_RAYS", 1024)
+    monkeypatch.setattr(mchain.OpticalChain, "_pallas_eligible",
+                        lambda self, els: True)
+    monkeypatch.setattr(amain, "_CLI_ACTIVE", True)
+
+    sp = {"NumberRays": 4096}
+    do = {"AutoDetectorDistance": True, "DistanceDetector": 500.0,
+          "OptFor": "spotsize"}
+    ao = {"verbose": False, "save_results": False}
+
+    # one chain list, reused by both paths: rotate_random_by draws its axis
+    # from the GLOBAL NumPy RNG, so rebuilding would give different chains
+    rng = np.random.default_rng(11)
+    chains = _flagship(4096).get_OE_random_loop_list(0.05, 0.2, 3, rng=rng)
+    kept = amain.main(chains, sp, do, ao)
+    assert all(c.last_trace_engine == "pallas-scan" for c in chains)
+
+    monkeypatch.setenv("ART_TPU_SCAN_ENGINE", "off")
+    kept_ref = amain.main(chains, sp, do, ao)
+    # randomly misaligned chains are astigmatic: the spot-vs-distance valley
+    # is flat over ~mm, so allow the distance a little slack
+    for d_f, d_r in zip(kept["Detector"], kept_ref["Detector"]):
+        assert d_f.get_distance() == pytest.approx(d_r.get_distance(), abs=1.0)
+    np.testing.assert_allclose(kept["ETransmission"], kept_ref["ETransmission"],
+                               rtol=0.02)
+    np.testing.assert_allclose(kept["SpotSizeSD"], kept_ref["SpotSizeSD"],
+                               rtol=0.1, atol=5e-4)
