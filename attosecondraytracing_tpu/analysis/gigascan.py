@@ -62,6 +62,7 @@ def fused_source_images(
     extent=None,
     chunk: int = 1 << 23,
     ignore_defects: bool = True,
+    engine: str = "pallas",
 ):
     """Intensity image + mean-delay map of ``n_total`` fused-source rays.
 
@@ -73,12 +74,27 @@ def fused_source_images(
     weighted mean], ``weight_image``, ``extent`` (lo, hi) [mm], and
     ``sum_w``.
 
+    ``engine='pallas'`` traces each chunk with the fused-source Mosaic
+    kernel and bins the resulting bundle in XLA — the traced state makes
+    one HBM round trip (~600 MB write+read per 2^23-ray chunk) because
+    Mosaic lowers no scatter for in-kernel binning. ``engine='xla-source'``
+    instead runs source synthesis + chained-frame trace + scatter-add
+    binning in ONE XLA program (ops/xla_source.py machinery — XLA lowers
+    scatter fine and fuses the elementwise trace into it), removing the
+    intermediate-bundle traffic; it also takes grid-defect chains
+    (``ignore_defects=False``), which the Mosaic kernel cannot.
+    Measured A/B: scripts/bench_image_engines.py.
+
     The reference's SpotDiagram/DelayGraph scatter plots
     (ART/ModuleAnalysisAndPlots.py:133-440) fetch every ray to the host;
     this streams 2^23-ray chunks through the zero-HBM-read kernel instead.
     """
     from ..ops import pallas_trace as pt
+    from ..ops import xla_source as xs
     from ..ops.trace import trace
+
+    if engine not in ("pallas", "xla-source"):
+        raise ValueError('engine must be "pallas" or "xla-source"')
 
     baked = source_spec.baked()
     n_total = int(n_total if n_total is not None else source_spec.n_rays)
@@ -110,9 +126,9 @@ def fused_source_images(
 
     edge = source_spec.gaussian_edge
     logedge = None if edge is None else float(np.log(edge))
-    if baked.kind == "extended":
-        # chunks must align to whole sub-sources (the position-spiral offset
-        # law of pt.synth_source_c)
+    if baked.kind in ("extended", "square"):
+        # chunks must align to whole sub-sources / grid rows (the offset
+        # laws of pt.synth_source_c)
         chunk = max(1, chunk // baked.n_each) * baked.n_each
 
     def _phase_kfrac(off):
@@ -120,17 +136,53 @@ def fused_source_images(
             i0 = off // baked.n_each
             return (float(np.mod(i0 * _PHI_FRAC, 1.0)),
                     i0 / max(baked.n_sources, 1))
+        if baked.kind == "square":
+            return float(off // baked.n_each), 0.0  # row offset in the phase slot
         return float(np.mod(off * _PHI_FRAC, 1.0)), off / n_total
 
-    def _weights(n_local, k_frac_i):
+    def _weights(n_local, phase_i, k_frac_i):
         if logedge is None:
             return jnp.ones((n_local,), jnp.float32)
         kf = jnp.arange(n_local, dtype=jnp.float32)
         _p, _d, rr = pt.synth_source_c(
-            baked.kind, kf, n_total, baked.radius, 0.0, k_frac_i,
+            baked.kind, kf, n_total, baked.radius, phase_i, k_frac_i,
             pos_radius=baked.pos_radius, n_each=baked.n_each,
             n_sources=baked.n_sources)
         return jnp.exp(logedge * rr)
+
+    # per-chunk tracer, engine-selected; both return a lab-frame RayBundle
+    # with traced scalars allowed for (phase, k_frac)
+    if engine == "xla-source":
+        els_x, maps_x, final_x, premasks_x = xs._source_inputs(baked, elements)
+        dummy_det = pt.BakedDetector(
+            centre=(0.0, 0.0, 0.0), normal=(0.0, 0.0, 1.0),
+            e1=(1.0, 0.0, 0.0), e2=(0.0, 1.0, 0.0), distances=(0.0,),
+            opl_ref=0.0, delay_offsets=(0.0,),
+        )
+        wl = jnp.asarray(source_spec.wavelength, jnp.float32)
+
+        def _trace_chunk(n_local, phase_i, k_frac_i):
+            s = xs._xla_source_run(
+                els_x, maps_x, final_x, premasks_x, dummy_det, baked.kind,
+                jnp.float32(baked.radius), phase_i, k_frac_i,
+                jnp.float32(0.0), jnp.float32(0.0),
+                jnp.float32(baked.pos_radius), n_local, n_total,
+                baked.n_each, baked.n_sources, ignore_defects, False)
+            ones = jnp.ones((n_local,), jnp.float32)
+            return RayBundle(
+                p=jnp.stack([s.px, s.py, s.pz], axis=-1),
+                d=jnp.stack([s.dx, s.dy, s.dz], axis=-1),
+                opl=s.opl, opl_c=s.opl_c, alive=s.alive, intensity=ones,
+                incidence=s.incidence, wavelength=wl,
+            )
+    else:
+        def _trace_chunk(n_local, phase_i, k_frac_i):
+            return pt.pallas_trace_source(
+                baked, elements, n_local,
+                wavelength=source_spec.wavelength,
+                phase=phase_i, k_frac=k_frac_i,
+                n_total=n_total, ignore_defects=ignore_defects,
+            )
 
     # cross-group accumulation on host in float64: pixel weights can exceed
     # the f32 integer range (2^24) on giga-ray scans
@@ -158,13 +210,8 @@ def fused_source_images(
         def _images_fused(phases_arr, kfracs_arr):
             def body(i, carry):
                 wg, wdg = carry
-                bundle = pt.pallas_trace_source(
-                    baked, elements, chunk,
-                    wavelength=source_spec.wavelength,
-                    phase=phases_arr[i], k_frac=kfracs_arr[i],
-                    n_total=n_total, ignore_defects=ignore_defects,
-                )
-                weights = _weights(chunk, kfracs_arr[i])
+                bundle = _trace_chunk(chunk, phases_arr[i], kfracs_arr[i])
+                weights = _weights(chunk, phases_arr[i], kfracs_arr[i])
                 wi, wdi = _chunk_binned_sums(
                     bundle, weights, centre, normal, rotj,
                     lo_j, hi_j, jnp.float32(opl_ref), bins)
@@ -186,15 +233,9 @@ def fused_source_images(
     while off < n_total:
         n_local = min(chunk, n_total - off)
         phase_i, k_frac_i = _phase_kfrac(off)
-        bundle = pt.pallas_trace_source(
-            baked, elements, n_local,
-            wavelength=source_spec.wavelength,
-            phase=phase_i,
-            k_frac=k_frac_i,
-            n_total=n_total,
-            ignore_defects=ignore_defects,
-        )
-        weights = _weights(n_local, jnp.float32(k_frac_i))
+        bundle = _trace_chunk(n_local, jnp.float32(phase_i),
+                              jnp.float32(k_frac_i))
+        weights = _weights(n_local, jnp.float32(phase_i), jnp.float32(k_frac_i))
         wi, wdi = _chunk_binned_sums(bundle, weights, centre, normal, rotj,
                                      lo_j, hi_j, jnp.float32(opl_ref), bins)
         w_img += np.asarray(wi, np.float64)

@@ -240,16 +240,34 @@ def FindOptimalDistancePallas(
 
     det = Detector.copy_detector()
     first_distance = det.get_distance()
-    probe = source_bundle(spec, min(n_rays, 4096))
+    # probe source: for 'extended' specs the first 4096 global rays all
+    # decode to sub-source 0's central cone fraction (k < n_each), which
+    # would skew the auto-Amplitude and the expansion point — spread the
+    # probe across every sub-source with a reduced per-cone count instead
+    # (moments stay exact either way; this sizes the search window right)
+    probe_spec = spec
+    probe_n = min(n_rays, 4096)
+    if spec.kind == "extended" and spec.n_sources > 0:
+        n_each_p = max(1, min(spec.n_each, probe_n // spec.n_sources))
+        probe_spec = spec._replace(n_each=n_each_p)
+        probe_n = n_each_p * spec.n_sources
+    probe = source_bundle(probe_spec, probe_n)
     out = trace_jit(probe, elements, keep_history=False)
-    # probe weights = the same Gaussian-vs-spiral-radius profile the kernel
-    # applies, so both the auto-Amplitude and the expansion point match the
-    # weighted moments (source_bundle intensities are uniform)
+    # probe weights = the same Gaussian-vs-radial-law profile the kernel
+    # applies (weight = edge**rr with rr from synth_source_c — k/n for plain
+    # spirals, the per-cone law for 'extended'), so both the auto-Amplitude
+    # and the expansion point match the weighted moments (source_bundle
+    # intensities are uniform)
     if gaussian_edge is None:
         probe_w = np.ones(out.n_rays)
     else:
-        probe_w = np.exp(np.log(gaussian_edge)
-                         * np.arange(out.n_rays) / out.n_rays)
+        from ..ops.pallas_trace import synth_source_c
+
+        _, _, rr = synth_source_c(
+            probe_spec.kind, np.arange(probe_n, dtype=np.float32), probe_n,
+            probe_spec.radius, pos_radius=probe_spec.pos_radius,
+            n_each=probe_spec.n_each, n_sources=probe_spec.n_sources)
+        probe_w = np.exp(np.log(gaussian_edge) * np.asarray(rr, np.float64))
     if Amplitude is None:
         xy = det.get_PointList2D(out)
         w = out.alive.astype(xy.dtype)

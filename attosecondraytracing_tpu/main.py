@@ -331,7 +331,7 @@ def _prepare_fused_scan(chains, DetectorOptions, AnalysisOptions):
     if len(chains) < 2:
         return None
     specs = [c.source_spec for c in chains]
-    if any(s is None or s.kind not in ("cone", "disk", "extended") for s in specs):
+    if any(s is None or s.kind not in ("cone", "disk", "extended", "square") for s in specs):
         return None
     n_rays = specs[0].n_rays
     if any(s.n_rays != n_rays or s.kind != specs[0].kind for s in specs):
@@ -450,7 +450,7 @@ def _run_ART_fused_scan(chain, elements, scan_spec, DetectorOptions,
         sum_w = float(rec_t["moments"][0])
     etransmission = 100.0 * sum_w / ps.total_source_weight(
         info.n_rays, info.gaussian_edge, n_each=baked_src.n_each,
-        n_sources=baked_src.n_sources)
+        n_sources=baked_src.n_sources, kind=baked_src.kind)
     chain.last_trace_engine = engine
 
     if AnalysisOptions["verbose"]:
@@ -532,7 +532,11 @@ def run_ART(
                 detector, spot_sd, duration_sd = optimize_detector_fused(
                     chain, detector, DetectorOptions, AnalysisOptions["verbose"]
                 )
-            except Exception as exc:
+            except (NotImplementedError, ValueError, RuntimeError) as exc:
+                # only the expected capability errors degrade to the host
+                # optimizer (kernel can't take this chain / backend refuses);
+                # genuine programming errors must propagate, not silently
+                # return coarser optima (ADVICE r4)
                 print(
                     f"[attosecondraytracing_tpu] fused detector optimizer "
                     f"unavailable ({type(exc).__name__}: {exc}); using the "

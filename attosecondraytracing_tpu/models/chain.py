@@ -31,10 +31,10 @@ class FusedSourceInfo(NamedTuple):
     intensity edge). Attached to an OpticalChain by OEPlacement; kept in sync
     by shift_source/tilt_source; cleared when the user replaces the bundle."""
 
-    kind: str            # 'cone' (point source) | 'disk' (plane-wave disk) | 'extended'
+    kind: str            # 'cone' (point source) | 'disk' (plane-wave disk) | 'extended' | 'square' (plane-wave grid)
     origin: tuple        # lab-frame source point / disk centre
     axis: tuple          # beam axis (unit)
-    param: float         # half-divergence [rad] for 'cone'/'extended', radius [mm] for 'disk'
+    param: float         # half-divergence [rad] for 'cone'/'extended', radius [mm] for 'disk', side length [mm] for 'square'
     gaussian_edge: float | None  # ApplyGaussianIntensityToRayList edge value
     n_rays: int
     wavelength: float
@@ -143,6 +143,9 @@ class OpticalChain:
             bundle = msource.ExtendedSource(origin, axis, spec.diameter,
                                             spec.param, n_rays,
                                             Wavelength=spec.wavelength)
+        elif spec.kind == "square":
+            bundle = msource.PlaneWaveSquare(origin, axis, spec.param, n_rays,
+                                             Wavelength=spec.wavelength)
         else:
             bundle = msource.PlaneWaveDisk(origin, axis, spec.param, n_rays,
                                            Wavelength=spec.wavelength)
@@ -254,7 +257,7 @@ class OpticalChain:
             engine == "auto"
             and not want_pallas
             and spec is not None
-            and spec.kind in ("cone", "disk", "extended")
+            and spec.kind in ("cone", "disk", "extended", "square")
             and n_rays >= PALLAS_MIN_RAYS
             and jax.default_backend() != "cpu"
         )
@@ -286,7 +289,7 @@ class OpticalChain:
         from ..ops import pallas_trace as pt
 
         spec = self._source_spec
-        if spec is not None and spec.kind in ("cone", "disk", "extended"):
+        if spec is not None and spec.kind in ("cone", "disk", "extended", "square"):
             out = pt.pallas_trace_source(
                 spec.baked(), elements, spec.n_rays, wavelength=spec.wavelength,
                 ignore_defects=ignore_defects,

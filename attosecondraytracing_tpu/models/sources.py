@@ -81,6 +81,39 @@ def PlaneWaveSquare(Centre, Axis, SideLength: float, NbRays: int, Wavelength=Non
     return _finish(points, dirs, Axis, Centre, Wavelength, dtype)
 
 
+def PlaneWaveSquareFused(Centre, Axis, SideLength: float, NbRays: int,
+                         Wavelength=None, gaussian_edge: float | None = None,
+                         dtype=None):
+    """:func:`PlaneWaveSquare` plus the fused-source description that lets
+    the in-kernel engines synthesize the grid from the ray index
+    (ops.pallas_trace.synth_source_c kind='square'). Returns
+    ``(bundle, FusedSourceInfo)`` — pass both to the OpticalChain ctor::
+
+        bundle, spec = PlaneWaveSquareFused(S, Axis, 10.0, 1_000_000)
+        chain = OpticalChain(bundle, elements, source_spec=spec)
+
+    and the chain becomes eligible for the fused Pallas trace, the one-pass
+    moment optimizer, and the runtime-scalar scan engine, like every other
+    factory source. ``gaussian_edge`` applies
+    :func:`ApplyGaussianIntensityToRayList` with that edge fraction and
+    records it in the spec (the fused engines weight in-kernel by the same
+    corner-normalized law)."""
+    from .chain import FusedSourceInfo
+
+    bundle = PlaneWaveSquare(Centre, Axis, SideLength, NbRays, Wavelength, dtype)
+    if gaussian_edge is not None:
+        bundle = ApplyGaussianIntensityToRayList(bundle, gaussian_edge)
+    axis = np.asarray(Axis, dtype=float)
+    axis = axis / np.linalg.norm(axis)
+    spec = FusedSourceInfo(
+        kind="square", origin=tuple(np.asarray(Centre, dtype=float)),
+        axis=tuple(axis), param=float(SideLength),
+        gaussian_edge=gaussian_edge, n_rays=bundle.n_rays,
+        wavelength=float(Wavelength) if Wavelength is not None else 0.0,
+    )
+    return bundle, spec
+
+
 def ApplyGaussianIntensityToRayList(bundle: RayBundle, IntensityFraction: float = 1 / np.e**2) -> RayBundle:
     """Gaussian intensity profile: 1 at the bundle centre, ``IntensityFraction``
     at the edge (ART/ModuleSource.py:219-261).

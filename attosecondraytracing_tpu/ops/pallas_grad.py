@@ -409,7 +409,8 @@ def _total_weight(spec: FusedLossSpec) -> float:
     from .pallas_scan import total_source_weight
 
     return total_source_weight(spec.n_rays, spec.gaussian_edge,
-                               n_each=spec.n_each, n_sources=spec.n_sources)
+                               n_each=spec.n_each, n_sources=spec.n_sources,
+                               kind=spec.source_kind)
 
 
 def _ray_chunks(spec: FusedLossSpec, chunk_size: int):

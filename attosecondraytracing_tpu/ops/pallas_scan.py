@@ -59,7 +59,7 @@ class ScanSpec(NamedTuple):
     scalars); only centre/surface/support/defects matter and those are
     pose-independent across a scan."""
 
-    source_kind: str   # 'cone' | 'disk' | 'extended'
+    source_kind: str   # 'cone' | 'disk' | 'extended' | 'square'
     elements: tuple    # pt._static_elements output
     n_total: int       # global ray count (radius law divisor)
     ignore_defects: bool
@@ -255,14 +255,24 @@ def pose_independent_signature(elements):
 
 
 def total_source_weight(n_rays: int, gaussian_edge: float | None,
-                        n_each: int = 0, n_sources: int = 0) -> float:
+                        n_each: int = 0, n_sources: int = 0,
+                        kind: str | None = None) -> float:
     """Closed-form total source weight Sum_k exp(ln(edge) * rr_k) — the
     transmission denominator for fused scans. For plain spirals rr_k = k/n
     (geometric series, O(1) at any ray count); for extended sources every
     sub-source emits the identical cone, so the total is n_sources times
-    the per-cone series."""
+    the per-cone series; for 'square' grids the corner-normalized law
+    edge**((x²+y²)/(L²/2)) separates into a product of two identical
+    O(n_side) 1-D sums."""
     if gaussian_edge is None:
         return float(n_rays)
+    if kind == "square":
+        n_side = n_each
+        # normalized coordinates x/L in [-1/2, 1/2]; rr = 2 (x/L)² + 2 (y/L)²
+        xs = (np.linspace(-0.5, 0.5, n_side) if n_side > 1
+              else np.array([-0.5]))
+        s = float(np.exp(np.log(gaussian_edge) * 2.0 * xs * xs).sum())
+        return s * s
     if n_each:
         return n_sources * total_source_weight(n_each, gaussian_edge)
     c = float(np.log(gaussian_edge) / n_rays)

@@ -335,7 +335,16 @@ def synth_source_c(kind, kf, n_total, radius, phase=0.0, k_frac=0.0, *,
     divmod(k, n_each); ``phase``/``k_frac`` then offset the POSITION spiral
     (i), so chunked/sharded calls must align chunk boundaries to whole
     sub-sources. The cone spiral (j) needs no offset — every sub-source
-    emits the identical cone."""
+    emits the identical cone.
+
+    ``kind='square'`` (ART PlaneWaveSquare, ModuleSource.py:173-207 — broken
+    there, fixed in models.sources): ray k decodes to grid indices (row i,
+    col j) = divmod(k, n_side) with ``n_side`` in ``n_each`` and the side
+    length in ``radius``; ``phase`` carries the integer ROW offset for
+    chunked calls (the grid has no spiral phase), so chunk boundaries must
+    align to whole rows. ``rr`` is corner-normalized: (x²+y²)/(L²/2), the
+    exact ApplyGaussianIntensityToRayList law for this grid (the corner ray
+    IS the farthest ray)."""
     zeros = jnp.zeros_like(kf)
     ones = zeros + 1.0
 
@@ -350,6 +359,15 @@ def synth_source_c(kind, kf, n_total, radius, phase=0.0, k_frac=0.0, *,
         ax, ay = ax * radius, ay * radius
         inv = jax.lax.rsqrt(ax * ax + ay * ay + 1.0)
         return (sx, sy, zeros), (ax * inv, ay * inv, inv), _rr(ax, ay)
+    if kind == "square":
+        qi, rj = _divmod_exact(kf, n_each)
+        qi = qi + phase  # chunk row offset (integer-valued float)
+        # host parity: np.linspace(-L/2, L/2, n_side) -> step L/(n_side-1)
+        inv_step = 1.0 / (n_each - 1) if n_each > 1 else 0.0
+        x = (qi * inv_step - 0.5) * radius
+        y = (rj * inv_step - 0.5) * radius
+        rr = (x * x + y * y) / (jnp.maximum(radius, 1e-300) ** 2 * 0.5)
+        return (x, y, zeros), (zeros, zeros, ones), rr
     cx, cy = _vogel_xy_c(kf, n_total, 1.0, phase, k_frac)
     cx, cy = cx * radius, cy * radius
     if kind == "cone":
@@ -364,8 +382,18 @@ def source_chunks(kind, n_rays, n_total, n_each=0, n_sources=0,
     """Kind-aware [(n_local, phase, k_frac)] chunk list covering the global
     source. Plain spirals chunk at arbitrary ray offsets (exact global
     golden angle via frac(off * phi)); 'extended' chunks align to whole
-    sub-sources and offset the POSITION spiral instead."""
+    sub-sources and offset the POSITION spiral instead; 'square' chunks
+    align to whole grid rows with the row offset riding in the phase slot."""
     chunks = []
+    if kind == "square":
+        n_side = n_each
+        per = max(1, chunk // n_side) * n_side
+        off = 0
+        while off < n_rays:
+            chunks.append((min(per, n_rays - off),
+                           float(phase) + off // n_side, 0.0))
+            off += per
+        return chunks
     if kind == "extended":
         if n_each >= 1 << 22:
             raise ValueError(
@@ -524,6 +552,12 @@ def make_source_spec(kind: str, S, Axis, param: float, diameter: float = 0.0,
         return BakedSource(kind=kind, radius=float(np.tan(param)),
                            pos_radius=float(diameter) / 2.0,
                            n_each=n_each, n_sources=n_sources, **base)
+    if kind == "square":
+        # collimated square grid: param = side length [mm]; the emitted
+        # count is n_side^2 (models.sources.PlaneWaveSquare semantics)
+        n_side = max(int(np.sqrt(n_rays)), 1)
+        return BakedSource(kind=kind, radius=float(param), n_each=n_side,
+                           **base)
     radius = float(np.tan(param)) if kind == "cone" else float(param)
     return BakedSource(kind=kind, radius=radius, **base)
 

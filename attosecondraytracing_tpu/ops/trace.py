@@ -557,7 +557,16 @@ def trace_jit(source, elements, ignore_defects: bool = True,
     """Jitted trace with the element list packed into one flat transfer
     (ops/packing.py). Chains with the same *structure* (same element types /
     leaf shapes) reuse the same XLA executable, so probe traces across a
-    parameter scan compile once."""
+    parameter scan compile once.
+
+    Tradeoff (deliberate, ADVICE r4): python/NumPy *scalar* leaves — surface
+    radii, support dimensions — are compile-time constants (pack_tree folds
+    them into the static meta to keep them weakly typed; packing them as 0-d
+    arrays would strong-type them and silently promote the whole trace under
+    x64). A scan that varies such a scalar therefore recompiles per distinct
+    value. Pose scans (the reference's loop lists) vary only array leaves
+    and share one executable; if you need a no-recompile *shape* scan, wrap
+    the varying scalar in a 0-d float32 np.ndarray at construction time."""
     from .packing import pack_tree
 
     flat, meta = pack_tree(elements)

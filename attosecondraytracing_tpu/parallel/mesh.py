@@ -243,3 +243,88 @@ def source_stats_sharded(
     moments = np.asarray(outs, np.float64).sum(axis=0)[: len(pt.MOMENT_FIELDS)]
     sums = pt.moments_to_distance_sums(moments, distances, centre_distance)
     return pt.sums_to_stats(sums, opl_ref, distances)
+
+
+def scan_moments_sharded(
+    spec,
+    svec,
+    n_total: int,
+    mesh: Mesh,
+    opl_ref: float,
+    inv_dn_chief: float,
+    centre_distance: float = 0.0,
+    radius: float = 0.0,
+    gaussian_edge: float | None = None,
+    pos_radius: float = 0.0,
+):
+    """The runtime-scalar-pose scan kernel (ops/pallas_scan.py) with the ray
+    axis sharded over a ``('rays',)`` mesh — the multi-chip form of
+    :func:`attosecondraytracing_tpu.ops.pallas_scan.scan_moments`, and the
+    natural multi-chip parameter-scan engine: every chain of a
+    structurally-uniform scan runs THIS one compiled kernel with its own
+    pose-scalar vector ``svec`` (replicated — a few hundred bytes), each
+    device synthesizes its slice of the global Vogel spiral in-kernel via
+    the per-shard (phase, k_frac) offsets, and only the (1, 128) partial
+    moment rows travel across the mesh.
+
+    Same contract as ``scan_moments``: returns the 16 distance-independent
+    detector moments (float64, ops.pallas_trace.MOMENT_FIELDS order).
+    """
+    from ..ops import pallas_scan as psn
+    from ..ops import pallas_trace as pt
+    from ..ops.warmup import note_dispatch
+
+    shard_map = jax.shard_map
+
+    if spec.source_kind == "extended":
+        raise NotImplementedError(
+            "sharded scan moments for extended sources need "
+            "sub-source-aligned shard offsets; use the single-device "
+            "chunked path")
+    note_dispatch()
+    n_dev = mesh.devices.size
+    if n_total % n_dev:
+        raise ValueError("n_total must divide evenly over the devices")
+    # per-shard spiral offsets: the golden-angle phase advances by the ray
+    # offset, but the radius-law fraction divides by the SPEC's global
+    # spiral size (spec.n_total — which may exceed the traced count, e.g.
+    # truncated scans), exactly as ops.pallas_trace.source_chunks does
+    n_local = n_total // n_dev
+    offs = np.arange(n_dev, dtype=np.float64) * n_local
+    phases = np.mod(offs * _PHI_FRAC, 1.0).astype(np.float32)
+    k_fracs = (offs / spec.n_total).astype(np.float32)
+    if n_local >= 1 << 24:
+        raise ValueError("per-device ray count must stay < 2^24 (float "
+                         "index exactness); use more devices or chunk")
+    centre_distance = float(np.float32(centre_distance))
+    wcoef = 0.0 if gaussian_edge is None else float(np.log(gaussian_edge))
+    aux_all = np.zeros((n_dev, psn.N_AUX), np.float32)
+    aux_all[:, psn.AUX_OPL_REF] = opl_ref
+    aux_all[:, psn.AUX_INV_DN] = inv_dn_chief
+    aux_all[:, psn.AUX_CENTRE_D] = centre_distance
+    aux_all[:, psn.AUX_RADIUS] = radius
+    aux_all[:, psn.AUX_WCOEF] = wcoef
+    aux_all[:, psn.AUX_PHASE] = np.asarray(phases)
+    aux_all[:, psn.AUX_KFRAC] = np.asarray(k_fracs)
+    aux_all[:, psn.AUX_POS_RADIUS] = pos_radius
+
+    tile = spec.block_rows * pt.LANES
+    n_pad = ((n_local + tile - 1) // tile) * tile
+    interpret = jax.default_backend() == "cpu"
+    svec = jnp.asarray(svec, jnp.float32)
+
+    def local(svec_rep, aux_rows):
+        out = psn._pallas_scan_moments_padded(
+            svec_rep, aux_rows[0], spec, interpret, n_local,
+            n_pad // pt.LANES)
+        # per-device partial reduction: ship one (1, 128) moment row
+        return out.sum(axis=0, keepdims=True)
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("rays", None)),
+        out_specs=P("rays", None),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    outs = sharded(svec, jnp.asarray(aux_all))
+    return np.asarray(outs, np.float64).sum(axis=0)[: len(pt.MOMENT_FIELDS)]

@@ -52,6 +52,30 @@ def test_chunked_images_match_single_pass(setup):
         np.median(diffs), diffs.max())
 
 
+def test_xla_source_engine_matches_pallas_engine(setup):
+    """engine='xla-source' (one XLA program: in-jit synthesis + chained
+    trace + scatter-add binning, no intermediate-bundle HBM round trip) must
+    reproduce the pallas-engine image (VERDICT r4 #8)."""
+    chain, elements, det = setup
+    spec = chain.source_spec
+    kw = dict(bins=(64, 64), n_total=16384)
+    res_p = fused_source_images(spec, elements, det, **kw)
+    res_x = fused_source_images(spec, elements, det, engine="xla-source",
+                                extent=res_p["extent"], **kw)
+    assert res_x["sum_w"] == pytest.approx(res_p["sum_w"], rel=1e-5)
+    # same global spiral, but chained-frame f32 rounding differs between the
+    # two tracers -> boundary rays may hop one bin (same envelope as the
+    # chunked-vs-single comparison above)
+    np.testing.assert_allclose(res_x["image"], res_p["image"], atol=2.5)
+    assert np.abs(res_x["image"] - res_p["image"]).sum() < 0.01 * res_p["sum_w"]
+    m_p, m_x = res_p["mean_delay"], res_x["mean_delay"]
+    both = np.isfinite(m_p) & np.isfinite(m_x) & (res_p["weight_image"] > 5)
+    assert both.sum() > 50
+    diffs = np.abs(m_x[both] - m_p[both])
+    assert np.median(diffs) < 0.05 and diffs.max() < 0.5, (
+        np.median(diffs), diffs.max())
+
+
 def test_images_match_bundle_histogram_path(setup):
     """The gigascan image equals Detector.get_Image on the equivalent
     explicitly-built bundle (same kernel spiral, same weights)."""

@@ -223,6 +223,38 @@ def test_scan_kernel_divergence_axis(base):
                         _stats_of_moments(mom_ref, DISTANCES))
 
 
+def test_sharded_scan_moments_match_single_device(base):
+    """scan_moments_sharded over the 8-virtual-device mesh == the
+    single-device runtime-scalar scan kernel (same global spiral via
+    per-shard (phase, k_frac) offsets; partial moment rows combined across
+    shards) — the multi-chip parameter-scan engine (VERDICT r4 #5)."""
+    import jax
+
+    from attosecondraytracing_tpu.parallel.mesh import scan_moments_sharded
+
+    chain, elements, det, spec = base
+    baked_src = chain.source_spec.baked()
+    opl_ref, _o, inv_dn = pt.chief_ray_refs(
+        baked_src, elements, det.centre, det.normal, (0.0,))
+    svec = ps.scan_chain_scalars(
+        elements, np.asarray(baked_src.rot), np.asarray(baked_src.origin),
+        det.centre, det.normal, det._plane_rotation())
+    n_total = 16384  # divides over 8 devices
+    mom_1 = ps.scan_moments(spec, svec, n_total, opl_ref, inv_dn,
+                            radius=baked_src.radius)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("rays",))
+    mom_8 = scan_moments_sharded(spec, svec, n_total, mesh, opl_ref, inv_dn,
+                                 radius=baked_src.radius)
+    rec = {"opl_ref": opl_ref, "centre_distance": 0.0}
+    _assert_stats_close(
+        _stats_of_moments({**rec, "moments": mom_8}, DISTANCES),
+        _stats_of_moments({**rec, "moments": mom_1}, DISTANCES))
+    # the extended kind must refuse (shard offsets would split sub-sources)
+    with pytest.raises(NotImplementedError):
+        scan_moments_sharded(spec._replace(source_kind="extended"), svec,
+                             n_total, mesh, opl_ref, inv_dn)
+
+
 def test_driver_fused_scan_monte_carlo(monkeypatch):
     """Monte-Carlo tolerancing (every element randomly rotated AND shifted,
     masks included) routes through the fused scan engine and matches the
