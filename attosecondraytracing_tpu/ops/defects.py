@@ -61,9 +61,18 @@ def _coeff_items(coeffs):
     return coeffs.items() if isinstance(coeffs, dict) else coeffs
 
 
-def _bilinear(grid, x0, y0, dx, dy, x, y):
-    """Clamped bilinear interpolation of ``grid[ix, iy]`` at physical (x, y)."""
-    nx, ny = grid.shape
+def _bilinear_multi(grids, x0, y0, dx, dy, x, y):
+    """Clamped bilinear interpolation of several SAME-SHAPE grids at physical
+    (x, y), sharing one index/weight computation and gathering each corner as
+    a packed ``len(grids)``-wide row from a flattened (nx*ny, K) view.
+
+    Gather layout matters enormously on TPU: per-grid 2-D ``grid[ix, iy]``
+    gathers measured 7.3x slower than these packed-row 1-D gathers
+    (scripts/exp_gather_layouts.py, 1e6 rays x 3 maps of 1600^2 on v5e:
+    144.5 ms vs 19.8 ms) — this layout is why the grid-defect engine's
+    interpolation costs ~4 gathers per pass instead of 4 per map, each in
+    XLA's fastest lowering. Returns a list of (N,) values, one per grid."""
+    nx, ny = grids[0].shape
     fx = (x - x0) / dx
     fy = (y - y0) / dy
     fx = jnp.clip(fx, 0.0, nx - 1.000001)
@@ -72,16 +81,25 @@ def _bilinear(grid, x0, y0, dx, dy, x, y):
     iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 2)
     wx = fx - ix
     wy = fy - iy
-    g00 = grid[ix, iy]
-    g10 = grid[ix + 1, iy]
-    g01 = grid[ix, iy + 1]
-    g11 = grid[ix + 1, iy + 1]
-    return (
-        g00 * (1 - wx) * (1 - wy)
-        + g10 * wx * (1 - wy)
-        + g01 * (1 - wx) * wy
-        + g11 * wx * wy
-    )
+    # (nx*ny, K) packed view: one cheap elementwise copy per trace (XLA
+    # hoists/CSEs it), repaid by 3x fewer, better-lowered gathers
+    packed = jnp.stack([g.reshape(-1) for g in grids], axis=-1)
+    base = ix * ny + iy
+    c00 = packed[base]
+    c10 = packed[base + ny]
+    c01 = packed[base + 1]
+    c11 = packed[base + ny + 1]
+    w00 = ((1 - wx) * (1 - wy))[..., None]
+    w10 = (wx * (1 - wy))[..., None]
+    w01 = ((1 - wx) * wy)[..., None]
+    w11 = (wx * wy)[..., None]
+    vals = c00 * w00 + c10 * w10 + c01 * w01 + c11 * w11
+    return [vals[..., k] for k in range(len(grids))]
+
+
+def _bilinear(grid, x0, y0, dx, dy, x, y):
+    """Clamped bilinear interpolation of one grid at physical (x, y)."""
+    return _bilinear_multi((grid,), x0, y0, dx, dy, x, y)[0]
 
 
 def defect_offset(defect, x, y):
@@ -104,8 +122,9 @@ def defect_offset(defect, x, y):
 def defect_slopes(defect, x, y):
     """(dh/dx, dh/dy) at local support coordinates, batched."""
     if isinstance(defect, GridDefect):
-        gx = _bilinear(defect.slope_x, defect.x0, defect.y0, defect.dx, defect.dy, x, y)
-        gy = _bilinear(defect.slope_y, defect.x0, defect.y0, defect.dx, defect.dy, x, y)
+        gx, gy = _bilinear_multi((defect.slope_x, defect.slope_y),
+                                 defect.x0, defect.y0, defect.dx, defect.dy,
+                                 x, y)
         return gx, gy
     if isinstance(defect, ZernikeDefect):
         items = tuple(_coeff_items(defect.coeffs))

@@ -242,7 +242,10 @@ def reconcile(slope_s: float, direct_s: float, tol: float = RECONCILE_TOL,
     fake-fast, never fake-slow; r4's 0.118 ms artifact vs the 2.03 ms direct
     rerun is the motivating case)."""
     if abs(slope_s - direct_s) <= noise_s:
-        return max(slope_s, 0.0), True
+        # consistent within the dispatch noise; a sub-noise (or interference-
+        # negative) slope still reports the better-bounded of the two rather
+        # than a meaningless 0.0
+        return max(slope_s, direct_s, 0.0), True
     if slope_s <= 0 or direct_s <= 0:
         return max(slope_s, direct_s, 0.0), False
     ratio = max(slope_s, direct_s) / min(slope_s, direct_s)
@@ -358,6 +361,10 @@ def _measure_path(step_fn, arg, *, label: str, n_rays: int, overhead_s: float,
         "ms": canonical * 1e3,
         "suspect": bool(reasons),
         "why": reasons,
+        # true when the per-pass time sits below the dispatch-noise floor
+        # (small-n smoke runs): the value is an upper-bound-ish estimate,
+        # not a measurement
+        "below_noise": max(slope, direct) < 0.25 * overhead_s / k_hi,
     }
     if verbose:
         tag = "  SUSPECT: " + "; ".join(reasons) if reasons else ""
