@@ -29,6 +29,44 @@ from . import stats
 from .histogram import _bin_indices
 
 
+_BIN_BLOCK = 8192  # rays per one-hot matmul block (operands ~8-16 MB VMEM-friendly)
+
+
+def _binned_sums_matmul(ix, iy, wv, wd, bins):
+    """(w_img, wd_img) via blocked ONE-HOT MATMULS instead of scatter-add.
+
+    TPU has no fast scatter: ``.at[flat].add`` costs ~60 ns/ray (measured —
+    it made a 1e8-ray 256² image take ~7.5 s while the trace itself was
+    ~20 ms). The histogram is an outer-product accumulation though:
+    ``W = Ex^T @ (w ∘ Ey)`` with Ex/Ey the row/column one-hot matrices — a
+    shape the MXU eats. Both images ride ONE matmul per block by stacking
+    [w·Ey | wd·Ey] along the columns. One-hots are exact in any matmul
+    precision; the default (bf16-input) precision rounds only w/wd by ~2⁻⁸
+    relative per element, which averages out in the pixel sums (random,
+    unbiased) — far below the images' statistical noise."""
+    bx, by = bins
+    n = ix.shape[0]
+    nb = -(-n // _BIN_BLOCK)
+    pad = nb * _BIN_BLOCK - n
+    ix = jnp.pad(ix, (0, pad)).reshape(nb, _BIN_BLOCK)
+    iy = jnp.pad(iy, (0, pad)).reshape(nb, _BIN_BLOCK)
+    wv = jnp.pad(wv, (0, pad)).reshape(nb, _BIN_BLOCK)  # padded rays: w = 0
+    wd = jnp.pad(wd, (0, pad)).reshape(nb, _BIN_BLOCK)
+    ax = jnp.arange(bx, dtype=jnp.int32)
+    ay = jnp.arange(by, dtype=jnp.int32)
+
+    def body(carry, blk):
+        ixb, iyb, wb, wdb = blk
+        Ex = (ixb[:, None] == ax).astype(jnp.float32)          # (B, bx)
+        Ey = (iyb[:, None] == ay).astype(jnp.float32)          # (B, by)
+        rhs = jnp.concatenate([wb[:, None] * Ey, wdb[:, None] * Ey], axis=1)
+        return carry + Ex.T @ rhs, None                        # (bx, 2*by)
+
+    init = jnp.zeros((bx, 2 * by), jnp.float32)
+    out, _ = jax.lax.scan(body, init, (ix, iy, wv, wd))
+    return out[:, :by], out[:, by:]
+
+
 @partial(jax.jit, static_argnames=("bins",))
 def _chunk_binned_sums(bundle: RayBundle, weights, centre, normal, rot,
                        lo, hi, opl_ref, bins):
@@ -43,14 +81,126 @@ def _chunk_binned_sums(bundle: RayBundle, weights, centre, normal, rot,
     w = jnp.where(bundle.alive, weights, 0.0)
     ix, iy, inside = _bin_indices(xy, lo, hi, bins)
     wv = jnp.where(inside, w, 0.0)
-    flat = ix * bins[1] + iy
-    n = bins[0] * bins[1]
-    w_img = jnp.zeros(n, dtype=xy.dtype).at[flat].add(wv)
-    wd_img = jnp.zeros(n, dtype=xy.dtype).at[flat].add(wv * delay_fs)
-    return w_img.reshape(bins), wd_img.reshape(bins)
+    return _binned_sums_matmul(ix, iy, wv, wv * delay_fs, bins)
 
 
 _PHI_FRAC = 0.3819660112501051  # golden turn fraction (ops.pallas_trace)
+
+
+def _weights_c(kind, n_local, phase_i, k_frac_i, radius, pos_radius, n_each,
+               n_sources, n_total, logedge):
+    """Gaussian chunk weights edge**rr from the source's radial law (1.0
+    when logedge is None) — jit-safe, shared by both image engines."""
+    import jax.numpy as jnp
+
+    from ..ops import pallas_trace as pt
+
+    if logedge is None:
+        return jnp.ones((n_local,), jnp.float32)
+    kf = jnp.arange(n_local, dtype=jnp.float32)
+    _p, _d, rr = pt.synth_source_c(
+        kind, kf, n_total, radius, phase_i, k_frac_i,
+        pos_radius=pos_radius, n_each=n_each, n_sources=n_sources)
+    return jnp.exp(logedge * rr)
+
+
+@partial(jax.jit, static_argnames=(
+    "baked", "statics", "bins", "chunk", "n_total", "group", "n_groups",
+    "logedge", "ignore_defects", "wavelength", "interpret"))
+def _images_fused_pallas(phases_arr, kfracs_arr, centre, normal, rotj,
+                         lo, hi, opl_ref, *, baked, statics, bins, chunk,
+                         n_total, group, n_groups, logedge, ignore_defects,
+                         wavelength, interpret=False):
+    """All full chunks in ONE dispatch through the Mosaic fused-source
+    kernel + matmul binning. Module-level jit: repeated calls with the same
+    chain/bins/chunk-count hit the cache (a closure-level jit recompiled
+    ~5 s on EVERY image — that, not the chunk math at ~40 ms/2^23 rays, was
+    what round 4's 1e9-ray demo and the first round-5 A/B actually
+    measured)."""
+    from ..ops import pallas_trace as pt
+
+    elements_b, maps_b, final_b, premasks_b = statics
+    rows = ((chunk + pt.BLOCK_ROWS * pt.LANES - 1)
+            // (pt.BLOCK_ROWS * pt.LANES)) * pt.BLOCK_ROWS
+
+    def body(i, carry):
+        wg, wdg = carry
+        outs = pt._pallas_trace_source_padded(
+            phases_arr[i], kfracs_arr[i], baked, elements_b, maps_b,
+            final_b, premasks_b, pt.BLOCK_ROWS, interpret, chunk, n_total,
+            rows, ignore_defects)
+        (opx, opy, opz, odx, ody, odz, oopl, oopl_c, oalive, oinc) = outs
+
+        def unprep(x):
+            return x.reshape(-1)[:chunk]
+
+        bundle = RayBundle(
+            p=jnp.stack([unprep(opx), unprep(opy), unprep(opz)], axis=-1),
+            d=jnp.stack([unprep(odx), unprep(ody), unprep(odz)], axis=-1),
+            opl=unprep(oopl), opl_c=unprep(oopl_c),
+            alive=unprep(oalive) != 0,
+            intensity=jnp.ones((chunk,), jnp.float32),
+            incidence=unprep(oinc),
+            wavelength=jnp.asarray(wavelength, jnp.float32),
+        )
+        weights = _weights_c(baked.kind, chunk, phases_arr[i], kfracs_arr[i],
+                             baked.radius, baked.pos_radius, baked.n_each,
+                             baked.n_sources, n_total, logedge)
+        wi, wdi = _chunk_binned_sums(bundle, weights, centre, normal, rotj,
+                                     lo, hi, opl_ref, bins)
+        g = i // group
+        return wg.at[g].add(wi), wdg.at[g].add(wdi)
+
+    init = (jnp.zeros((n_groups,) + bins, jnp.float32),
+            jnp.zeros((n_groups,) + bins, jnp.float32))
+    return jax.lax.fori_loop(0, phases_arr.shape[0], body, init)
+
+
+@partial(jax.jit, static_argnames=(
+    "baked", "bins", "chunk", "n_total", "group", "n_groups", "logedge",
+    "ignore_defects", "wavelength"))
+def _images_fused_xla(phases_arr, kfracs_arr, els_x, maps_x, final_x,
+                      premasks_x, centre, normal, rotj, lo, hi, opl_ref, *,
+                      baked, bins, chunk, n_total, group, n_groups, logedge,
+                      ignore_defects, wavelength):
+    """XLA fused-source twin of :func:`_images_fused_pallas` (geometry as
+    traced inputs; takes grid-defect chains)."""
+    from ..ops import pallas_trace as pt
+    from ..ops import xla_source as xs
+
+    dummy_det = pt.BakedDetector(
+        centre=(0.0, 0.0, 0.0), normal=(0.0, 0.0, 1.0),
+        e1=(1.0, 0.0, 0.0), e2=(0.0, 1.0, 0.0), distances=(0.0,),
+        opl_ref=0.0, delay_offsets=(0.0,),
+    )
+
+    def body(i, carry):
+        wg, wdg = carry
+        s = xs._xla_source_run(
+            els_x, maps_x, final_x, premasks_x, dummy_det, baked.kind,
+            jnp.float32(baked.radius), phases_arr[i], kfracs_arr[i],
+            jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(baked.pos_radius), chunk, n_total,
+            baked.n_each, baked.n_sources, ignore_defects, False)
+        bundle = RayBundle(
+            p=jnp.stack([s.px, s.py, s.pz], axis=-1),
+            d=jnp.stack([s.dx, s.dy, s.dz], axis=-1),
+            opl=s.opl, opl_c=s.opl_c, alive=s.alive,
+            intensity=jnp.ones((chunk,), jnp.float32),
+            incidence=s.incidence,
+            wavelength=jnp.asarray(wavelength, jnp.float32),
+        )
+        weights = _weights_c(baked.kind, chunk, phases_arr[i], kfracs_arr[i],
+                             baked.radius, baked.pos_radius, baked.n_each,
+                             baked.n_sources, n_total, logedge)
+        wi, wdi = _chunk_binned_sums(bundle, weights, centre, normal, rotj,
+                                     lo, hi, opl_ref, bins)
+        g = i // group
+        return wg.at[g].add(wi), wdg.at[g].add(wdi)
+
+    init = (jnp.zeros((n_groups,) + bins, jnp.float32),
+            jnp.zeros((n_groups,) + bins, jnp.float32))
+    return jax.lax.fori_loop(0, phases_arr.shape[0], body, init)
 
 
 def fused_source_images(
@@ -205,24 +355,21 @@ def fused_source_images(
         phases = jnp.asarray([p for p, _ in pk], jnp.float32)
         kfracs = jnp.asarray([k for _, k in pk], jnp.float32)
         n_groups = -(-len(offs) // GROUP)
-
-        @jax.jit
-        def _images_fused(phases_arr, kfracs_arr):
-            def body(i, carry):
-                wg, wdg = carry
-                bundle = _trace_chunk(chunk, phases_arr[i], kfracs_arr[i])
-                weights = _weights(chunk, phases_arr[i], kfracs_arr[i])
-                wi, wdi = _chunk_binned_sums(
-                    bundle, weights, centre, normal, rotj,
-                    lo_j, hi_j, jnp.float32(opl_ref), bins)
-                g = i // GROUP
-                return wg.at[g].add(wi), wdg.at[g].add(wdi)
-
-            init = (jnp.zeros((n_groups,) + bins, jnp.float32),
-                    jnp.zeros((n_groups,) + bins, jnp.float32))
-            return jax.lax.fori_loop(0, phases_arr.shape[0], body, init)
-
-        wg, wdg = _images_fused(phases, kfracs)
+        common = dict(baked=baked, bins=bins, chunk=chunk, n_total=n_total,
+                      group=GROUP, n_groups=n_groups, logedge=logedge,
+                      ignore_defects=ignore_defects,
+                      wavelength=float(source_spec.wavelength))
+        if engine == "xla-source":
+            wg, wdg = _images_fused_xla(
+                phases, kfracs, els_x, maps_x, final_x, premasks_x,
+                centre, normal, rotj, lo_j, hi_j, jnp.float32(opl_ref),
+                **common)
+        else:
+            statics = pt._source_maps(baked, elements)
+            wg, wdg = _images_fused_pallas(
+                phases, kfracs, centre, normal, rotj, lo_j, hi_j,
+                jnp.float32(opl_ref), statics=statics,
+                interpret=jax.default_backend() == "cpu", **common)
         w_img += np.asarray(wg, np.float64).sum(axis=0)
         wd_img += np.asarray(wdg, np.float64).sum(axis=0)
     elif offs:

@@ -114,8 +114,10 @@ def _kernel_scan_moments(svec, aux, out, *, spec: ScanSpec, n_rays: int):
     scal = tuple(svec[i] for i in range(n_scalars(n_el)))
     maps, det_rel = _unpack_scalars(scal, n_el)
     for el, (M, b) in zip(spec.elements, maps):
+        # moments epilogue masks dead rays: skip their freeze selects
         s = chained_step(el, M, b, s, want_incidence=False,
-                         ignore_defects=spec.ignore_defects)
+                         ignore_defects=spec.ignore_defects,
+                         freeze_dead=False)
     det = pt.BakedDetector(
         centre=det_rel[0], normal=det_rel[1], e1=det_rel[2], e2=det_rel[3],
         distances=(0.0,), opl_ref=aux[AUX_OPL_REF],

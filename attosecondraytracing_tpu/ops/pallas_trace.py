@@ -913,9 +913,12 @@ def _synth_traced_state(scalars, source, elements, maps, premasks, n_rays,
         incidence=zeros,
     )
     for el, (M, b), pre in zip(elements, maps, premasks):
-        # incidence is never observed by the statistics: skip it everywhere
+        # incidence is never observed by the statistics: skip it everywhere;
+        # dead-ray state only ever reaches alive-masked reductions, so the
+        # freeze selects are skipped too (trace.chained_step freeze_dead)
         s = chained_step(el, M, b, s, want_incidence=False,
-                         ignore_defects=ignore_defects, premasks=pre)
+                         ignore_defects=ignore_defects, premasks=pre,
+                         freeze_dead=False)
     return s, weights
 
 

@@ -421,7 +421,8 @@ def _affine_c(M, b, px, py, pz, dx, dy, dz):
 
 
 def chained_step(element, M, b, s: TraceState, want_incidence: bool,
-                 ignore_defects: bool = True, premasks=()) -> TraceState:
+                 ignore_defects: bool = True, premasks=(),
+                 freeze_dead: bool = True) -> TraceState:
     """One element step in chained-frame mode: input state patch-relative to
     the previous element (lab absolute for the first), output patch-relative
     to THIS element. Dead rays keep their coordinates and are re-expressed by
@@ -491,6 +492,27 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool,
         dn = ux * nx + uy * ny + uz * nz
         rx, ry, rz = ux - 2.0 * dn * nx, uy - 2.0 * dn * ny, uz - 2.0 * dn * nz
     upd = s.alive & valid
+    if not freeze_dead and isinstance(element, MirrorElement):
+        # moments-epilogue mode: dead-ray state is consumed ONLY through
+        # alive-masked reductions (moment_rows zeroes their weights), so the
+        # per-component freeze selects are pure overhead. Dead rays advance
+        # along whatever (bounded) path the mirror geometry gives them: a
+        # valid hit has support-sized local coordinates and a unit reflected
+        # direction, an invalid one has t = 0 (intersect_* returns
+        # where(hit, t, 0)) and leaves the state unchanged — every value
+        # stays BOUNDED, which is all the masked epilogue needs (w * inf
+        # would be NaN; w * bounded-garbage is exactly 0). Mask steps are
+        # excluded: their plane leg t = -qz/uz is unbounded for
+        # near-parallel dead rays and its square would overflow to inf. NOT
+        # valid for kernels whose per-ray outputs are the product (bundle
+        # traces keep the reference's frozen dead-ray state).
+        inc_out = _acos(-dn) if want_incidence else s.incidence
+        opl, opl_c = kahan_add(s.opl, s.opl_c, t)
+        return TraceState(
+            px=x - cen[0], py=y - cen[1], pz=z - cen[2],
+            dx=rx, dy=ry, dz=rz,
+            opl=opl, opl_c=opl_c, alive=upd, incidence=inc_out,
+        )
     inc_out = jnp.where(upd, _acos(-dn), s.incidence) if want_incidence else s.incidence
     opl, opl_c = kahan_add(s.opl, s.opl_c, jnp.where(upd, t, 0.0))
     # hand off patch-relative coordinates: x (or the frozen q) is within the

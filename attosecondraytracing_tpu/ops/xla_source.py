@@ -97,8 +97,10 @@ def _xla_source_run(elements, maps, final, premasks, det, kind, radius,
     from .trace import chained_step
 
     for el, (M, b), pre in zip(elements, maps, premasks):
+        # moments epilogue masks dead rays: skip their freeze selects
         s = chained_step(el, M, b, s, want_incidence=False,
-                         ignore_defects=ignore_defects, premasks=pre)
+                         ignore_defects=ignore_defects, premasks=pre,
+                         freeze_dead=False)
     weights = jnp.exp(wcoef * rr)  # edge**rr, the normalized radial law
     rows = pt.moment_rows(s, det, weights, centre_distance=centre_distance)
     return rows[0]  # (LANES,) — row 0 carries the 16 sums
