@@ -534,18 +534,23 @@ def chained_step(element, M, b, s: TraceState, want_incidence: bool,
 
 
 def run_chain_chained(s: TraceState, elements, maps, final,
-                      ignore_defects: bool = True, premasks=None) -> TraceState:
+                      ignore_defects: bool = True, premasks=None,
+                      freeze_dead: bool = True) -> TraceState:
     """Run a whole chain in chained-frame mode and restore lab coordinates.
     Equivalent to folding state_step over the chain with
     ``keep_history=False`` (incidence computed only at the last element).
     ``premasks`` (from :func:`fold_premasks`, aligned with ``elements``)
-    carries folded mask tests; None = no folding."""
+    carries folded mask tests; None = no folding. ``freeze_dead=False``
+    skips the dead-ray freeze selects (see :func:`chained_step`) — legal
+    whenever every consumer masks by ``alive`` (all analysis/stats/plot/
+    histogram consumers do; measured ~20-30% kernel speedup)."""
     last = len(elements) - 1
     if premasks is None:
         premasks = ((),) * len(elements)
     for i, (el, (M, b)) in enumerate(zip(elements, maps)):
         s = chained_step(el, M, b, s, want_incidence=(i == last),
-                         ignore_defects=ignore_defects, premasks=premasks[i])
+                         ignore_defects=ignore_defects, premasks=premasks[i],
+                         freeze_dead=freeze_dead)
     R_K, pos_K = final
     # p_lab = R_K^T x + pos_K ; d_lab = R_K^T d  (x already patch-relative)
     x = s.px

@@ -88,9 +88,11 @@ def _xla_source_run(elements, maps, final, premasks, det, kind, radius,
         incidence=zeros,
     )
     if not want_moments:
+        # same unfrozen dead-ray convention as the Pallas bundle kernels
+        # (consumers mask by alive; keeps the two engines bit-similar)
         return run_chain_chained(s, elements, maps, final,
                                  ignore_defects=ignore_defects,
-                                 premasks=premasks)
+                                 premasks=premasks, freeze_dead=False)
     # moments: stay in the LAST element's patch-relative frame — the baked
     # detector plane lives there (pt.bake_detector / run_chain_chained's
     # output convention), exactly like the Pallas moment kernels
@@ -146,6 +148,19 @@ def xla_trace_source(
     )
 
 
+def _device_inputs(spec: pt.BakedSource, elements):
+    """:func:`_source_inputs` with ndarray leaves device_put ONCE — the
+    geometry and the (possibly ~10-100 MB) defect grids are jit *arguments*
+    of the engine, and re-passing host NumPy would re-upload them through
+    the (slow) tunnel on every dispatch. Python-scalar leaves stay as-is to
+    keep their weak dtypes."""
+    import jax
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
+        _source_inputs(spec, elements))
+
+
 def xla_source_moments(
     spec: pt.BakedSource,
     elements,
@@ -157,17 +172,20 @@ def xla_source_moments(
     gaussian_edge: float | None = None,
     centre_distance: float = 0.0,
     ignore_defects: bool = True,
+    inputs=None,
 ):
     """The 16 distance-independent detector moments through the XLA
     fused-source engine — same contract as
     pt.pallas_source_detector_moments, grid defects included. Chunked
-    beyond 2^23 rays with the (phase, k_frac) law."""
+    beyond 2^23 rays with the (phase, k_frac) law. ``inputs`` (from
+    :func:`_device_inputs`) reuses device-resident geometry across calls."""
     centre_distance = float(np.float32(centre_distance))
     opl_ref, _offsets, inv_dn_chief = pt.chief_ray_refs(
         spec, elements, det_centre, det_normal, (0.0,), opl_ref)
     det = pt.bake_detector(elements, det_centre, det_normal, det_rot,
                            opl_ref=opl_ref, inv_dn_chief=inv_dn_chief)
-    els, maps, final, premasks = _source_inputs(spec, elements)
+    els, maps, final, premasks = (inputs if inputs is not None
+                                  else _device_inputs(spec, elements))
     # weight = edge**rr, rr the normalized radial law (synth_source_c)
     wcoef = 0.0 if gaussian_edge is None else float(np.log(gaussian_edge))
 
@@ -197,14 +215,16 @@ def make_xla_moments_fn(spec: pt.BakedSource, elements, n_rays: int,
                         ignore_defects: bool = True):
     """moments_fn for analysis.optimizer.FindOptimalDistancePallas backed by
     the XLA fused-source engine — the defect-capable twin of
-    ops/pallas_scan.make_moments_fn."""
+    ops/pallas_scan.make_moments_fn. Geometry + defect grids are uploaded
+    once (``_device_inputs``) and reused by every optimizer call."""
+    inputs = _device_inputs(spec, elements)
 
     def moments_fn(det_centre, det_normal, det_rot, gaussian_edge=None,
                    centre_distance=0.0):
         return xla_source_moments(
             spec, elements, n_rays, det_centre, det_normal, det_rot,
             gaussian_edge=gaussian_edge, centre_distance=centre_distance,
-            ignore_defects=ignore_defects,
+            ignore_defects=ignore_defects, inputs=inputs,
         )
 
     return moments_fn
