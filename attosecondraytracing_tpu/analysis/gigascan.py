@@ -26,45 +26,7 @@ from ..ops.bundle import RayBundle
 from ..ops.geometry import kahan_add
 from ..ops.precision import LIGHT_SPEED_MM_S
 from . import stats
-from .histogram import _bin_indices
-
-
-_BIN_BLOCK = 8192  # rays per one-hot matmul block (operands ~8-16 MB VMEM-friendly)
-
-
-def _binned_sums_matmul(ix, iy, wv, wd, bins):
-    """(w_img, wd_img) via blocked ONE-HOT MATMULS instead of scatter-add.
-
-    TPU has no fast scatter: ``.at[flat].add`` costs ~60 ns/ray (measured —
-    it made a 1e8-ray 256² image take ~7.5 s while the trace itself was
-    ~20 ms). The histogram is an outer-product accumulation though:
-    ``W = Ex^T @ (w ∘ Ey)`` with Ex/Ey the row/column one-hot matrices — a
-    shape the MXU eats. Both images ride ONE matmul per block by stacking
-    [w·Ey | wd·Ey] along the columns. One-hots are exact in any matmul
-    precision; the default (bf16-input) precision rounds only w/wd by ~2⁻⁸
-    relative per element, which averages out in the pixel sums (random,
-    unbiased) — far below the images' statistical noise."""
-    bx, by = bins
-    n = ix.shape[0]
-    nb = -(-n // _BIN_BLOCK)
-    pad = nb * _BIN_BLOCK - n
-    ix = jnp.pad(ix, (0, pad)).reshape(nb, _BIN_BLOCK)
-    iy = jnp.pad(iy, (0, pad)).reshape(nb, _BIN_BLOCK)
-    wv = jnp.pad(wv, (0, pad)).reshape(nb, _BIN_BLOCK)  # padded rays: w = 0
-    wd = jnp.pad(wd, (0, pad)).reshape(nb, _BIN_BLOCK)
-    ax = jnp.arange(bx, dtype=jnp.int32)
-    ay = jnp.arange(by, dtype=jnp.int32)
-
-    def body(carry, blk):
-        ixb, iyb, wb, wdb = blk
-        Ex = (ixb[:, None] == ax).astype(jnp.float32)          # (B, bx)
-        Ey = (iyb[:, None] == ay).astype(jnp.float32)          # (B, by)
-        rhs = jnp.concatenate([wb[:, None] * Ey, wdb[:, None] * Ey], axis=1)
-        return carry + Ex.T @ rhs, None                        # (bx, 2*by)
-
-    init = jnp.zeros((bx, 2 * by), jnp.float32)
-    out, _ = jax.lax.scan(body, init, (ix, iy, wv, wd))
-    return out[:, :by], out[:, by:]
+from .histogram import _bin_indices, binned_sums
 
 
 @partial(jax.jit, static_argnames=("bins",))
@@ -81,7 +43,10 @@ def _chunk_binned_sums(bundle: RayBundle, weights, centre, normal, rot,
     w = jnp.where(bundle.alive, weights, 0.0)
     ix, iy, inside = _bin_indices(xy, lo, hi, bins)
     wv = jnp.where(inside, w, 0.0)
-    return _binned_sums_matmul(ix, iy, wv, wv * delay_fs, bins)
+    # MXU one-hot binning (analysis.histogram.binned_sums); default matmul
+    # precision — the bf16 rounding of w/wd (~2^-8 relative, unbiased)
+    # averages out in pixel sums, far below giga-ray statistical noise
+    return binned_sums(ix, iy, (wv, wv * delay_fs), bins)
 
 
 _PHI_FRAC = 0.3819660112501051  # golden turn fraction (ops.pallas_trace)

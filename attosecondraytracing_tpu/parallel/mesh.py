@@ -245,6 +245,92 @@ def source_stats_sharded(
     return pt.sums_to_stats(sums, opl_ref, distances)
 
 
+def source_images_sharded(
+    spec,
+    elements,
+    n_total: int,
+    mesh: Mesh,
+    centre,
+    normal,
+    rot,
+    extent,
+    bins: tuple[int, int] = (256, 256),
+    chunk: int = 1 << 23,
+    gaussian_edge: float | None = None,
+    opl_ref: float = 0.0,
+    wavelength: float = 50e-6,
+    ignore_defects: bool = True,
+):
+    """Giga-ray detector images over every device of a ``('rays',)`` mesh:
+    each device synthesizes + traces its slice of the global Vogel spiral
+    through the fused-source Mosaic kernel and bins it locally with the MXU
+    one-hot matmuls (analysis.gigascan) — only the (bins) partial images
+    cross the mesh, a few hundred kB for a billion-ray map.
+
+    ``spec`` is an ops.pallas_trace.BakedSource; ``extent = (lo, hi)`` must
+    be fixed (use a probe image for auto-fitting — per-device auto extents
+    would disagree). Returns ``(w_img, wd_img)`` as float64 host arrays
+    (weight and weight*delay sums; delays relative to ``opl_ref``)."""
+    from ..analysis.gigascan import _images_fused_pallas
+    from ..ops import pallas_trace as pt
+
+    shard_map = jax.shard_map
+
+    if spec.kind in ("extended", "square"):
+        raise NotImplementedError(
+            "sharded images for extended/square sources need "
+            "sub-source/row-aligned shard offsets; use the single-device "
+            "chunked path")
+    n_dev = mesh.devices.size
+    if n_total % n_dev:
+        raise ValueError("n_total must divide evenly over the devices")
+    n_local = n_total // n_dev
+    n_chunks = -(-n_local // chunk)
+    if n_local % n_chunks:
+        raise ValueError(
+            f"per-device ray count {n_local} must split into equal chunks "
+            f"(got {n_chunks} chunks); pick n_total accordingly")
+    chunk_local = n_local // n_chunks
+    if chunk_local >= 1 << 24:
+        raise ValueError("per-chunk ray count must stay < 2^24")
+
+    # (device, chunk) global spiral offsets, composed in float64 on the host
+    offs = (np.arange(n_dev, dtype=np.float64)[:, None] * n_local
+            + np.arange(n_chunks, dtype=np.float64)[None, :] * chunk_local)
+    phases = np.mod(offs * _PHI_FRAC, 1.0).astype(np.float32)
+    k_fracs = (offs / n_total).astype(np.float32)
+
+    statics = pt._source_maps(spec, elements)
+    logedge = None if gaussian_edge is None else float(np.log(gaussian_edge))
+    centre_j = jnp.asarray(centre, jnp.float32)
+    normal_j = jnp.asarray(normal, jnp.float32)
+    rot_j = jnp.asarray(rot, jnp.float32)
+    lo_j = jnp.asarray(extent[0], jnp.float32)
+    hi_j = jnp.asarray(extent[1], jnp.float32)
+    interpret = jax.default_backend() == "cpu"
+
+    def local(ph_rows, kf_rows):
+        wg, wdg = _images_fused_pallas(
+            ph_rows[0], kf_rows[0], centre_j, normal_j, rot_j, lo_j, hi_j,
+            jnp.float32(opl_ref), baked=spec, statics=statics, bins=bins,
+            chunk=chunk_local, n_total=n_total, group=8,
+            n_groups=-(-n_chunks // 8), logedge=logedge,
+            ignore_defects=ignore_defects, wavelength=float(wavelength),
+            interpret=interpret)
+        # per-device partial reduction: ship one image pair
+        return wg.sum(axis=0)[None], wdg.sum(axis=0)[None]
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("rays", None), P("rays", None)),
+        out_specs=(P("rays", None, None), P("rays", None, None)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    wgs, wdgs = sharded(jnp.asarray(phases), jnp.asarray(k_fracs))
+    return (np.asarray(wgs, np.float64).sum(axis=0),
+            np.asarray(wdgs, np.float64).sum(axis=0))
+
+
 def scan_moments_sharded(
     spec,
     svec,

@@ -95,6 +95,38 @@ def test_xla_source_engine_matches_pallas_engine(setup):
         np.median(diffs), diffs.max())
 
 
+def test_sharded_images_match_single_device(setup):
+    """source_images_sharded over the 8-virtual-device mesh == the
+    single-device gigascan images (same global spiral via per-shard
+    (phase, k_frac) offsets; per-device MXU-binned partial images summed in
+    f64 on the host)."""
+    import jax
+    import numpy as np
+
+    from attosecondraytracing_tpu.ops import pallas_trace as pt
+    from attosecondraytracing_tpu.parallel.mesh import source_images_sharded
+
+    chain, elements, det = setup
+    spec = chain.source_spec
+    baked = spec.baked()
+    n = 16384
+    res_1 = fused_source_images(spec, elements, det, n_total=n, bins=(64, 64))
+    opl_ref, _o, _i = pt.chief_ray_refs(baked, elements, det.centre,
+                                        det.normal, (0.0,))
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("rays",))
+    w8, wd8 = source_images_sharded(
+        baked, elements, n, mesh, det.centre, det.normal,
+        det._plane_rotation(), res_1["extent"], bins=(64, 64),
+        gaussian_edge=spec.gaussian_edge, opl_ref=opl_ref,
+        wavelength=spec.wavelength)
+    assert w8.sum() == pytest.approx(res_1["sum_w"], rel=1e-5)
+    # per-shard spiral-phase rounding differs from the global digit split
+    # (same envelope as the chunked-vs-single comparison): boundary rays may
+    # hop one bin
+    np.testing.assert_allclose(w8, res_1["image"], atol=2.5)
+    assert np.abs(w8 - res_1["image"]).sum() < 0.02 * res_1["sum_w"]
+
+
 def test_images_match_bundle_histogram_path(setup):
     """The gigascan image equals Detector.get_Image on the equivalent
     explicitly-built bundle (same kernel spiral, same weights)."""
