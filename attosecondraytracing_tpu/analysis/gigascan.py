@@ -189,16 +189,14 @@ def fused_source_images(
     weighted mean], ``weight_image``, ``extent`` (lo, hi) [mm], and
     ``sum_w``.
 
-    ``engine='pallas'`` traces each chunk with the fused-source Mosaic
-    kernel and bins the resulting bundle in XLA — the traced state makes
-    one HBM round trip (~600 MB write+read per 2^23-ray chunk) because
-    Mosaic lowers no scatter for in-kernel binning. ``engine='xla-source'``
-    instead runs source synthesis + chained-frame trace + scatter-add
-    binning in ONE XLA program (ops/xla_source.py machinery — XLA lowers
-    scatter fine and fuses the elementwise trace into it), removing the
-    intermediate-bundle traffic; it also takes grid-defect chains
+    Both engines bin on the MXU (one-hot matmuls,
+    analysis.histogram.binned_sums — TPU has no fast scatter).
+    ``engine='pallas'`` (default, measured fastest: 0.80 s vs 0.97 s per
+    1e8-ray 256² image, scripts/bench_image_engines.py) traces each chunk
+    with the fused-source Mosaic kernel; ``engine='xla-source'`` runs
+    source synthesis + chained-frame trace + binning as one XLA program
+    (ops/xla_source.py machinery) and also takes grid-defect chains
     (``ignore_defects=False``), which the Mosaic kernel cannot.
-    Measured A/B: scripts/bench_image_engines.py.
 
     The reference's SpotDiagram/DelayGraph scatter plots
     (ART/ModuleAnalysisAndPlots.py:133-440) fetch every ray to the host;
