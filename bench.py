@@ -574,7 +574,11 @@ def main(n_rays: int = 10_000_000, iters: int = 6, verbose: bool = True):
     paths = {}
     paths["scan_rt"] = measure(step_scan_rt, jnp.float32(0.0), label="scan_rt")
     paths["scan20"] = measure(step_scan, jnp.float32(0.0), label="scan20")
-    paths["xla_src"] = measure(step_xla_src, jnp.float32(0.0), label="xla_src")
+    # k_hi=3: the defect pass is ~0.5 s — 20x the dispatch overhead, so the
+    # two timings are robust at small rep counts, and the unrolled
+    # gather-heavy executable compiles ~2.5x faster (was 143 s at 8 reps)
+    paths["xla_src"] = measure(step_xla_src, jnp.float32(0.0), label="xla_src",
+                               k_hi=3)
     paths["pallas_src"] = measure(step_src, jnp.float32(0.0), label="pallas_src")
     paths["pallas"] = measure(step_pallas, comps, label="pallas")
     # k_hi=5 for XLA: the unrolled-reps executable compiles ~linearly in

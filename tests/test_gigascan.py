@@ -60,8 +60,10 @@ def test_xla_source_engine_matches_pallas_engine(setup):
     spec = chain.source_spec
     kw = dict(bins=(64, 64), n_total=16384)
     res_p = fused_source_images(spec, elements, det, **kw)
+    # chunk=4096 forces the multi-chunk fused dispatch (_images_fused_xla),
+    # which the single-chunk default would leave untested
     res_x = fused_source_images(spec, elements, det, engine="xla-source",
-                                extent=res_p["extent"], **kw)
+                                extent=res_p["extent"], chunk=4096, **kw)
     assert res_x["sum_w"] == pytest.approx(res_p["sum_w"], rel=1e-5)
     # same global spiral, but the two engines compile the same math through
     # different pipelines (Mosaic vs XLA; no freeze selects pinning the
