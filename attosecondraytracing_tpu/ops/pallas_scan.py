@@ -205,18 +205,40 @@ def scan_moments(
     return moments[: len(pt.MOMENT_FIELDS)]
 
 
+def _scan_mesh(spec: ScanSpec, n_rays: int):
+    """Optional ('rays',) mesh for the scan engine: set ART_TPU_SCAN_MESH=1
+    on a multi-device host to shard every scan-kernel pass over all devices
+    (parallel.mesh.scan_moments_sharded — rays split across the mesh, the
+    shared runtime-scalar kernel compiled once, one 128-float moment row
+    shipped per device per chain). Returns None (single-device path) when
+    unset, on one device, for 'extended'/'square' kinds (shard alignment),
+    or when the ray count does not divide."""
+    import os
+
+    if os.environ.get("ART_TPU_SCAN_MESH", "0") != "1":
+        return None
+    devices = jax.devices()
+    if (len(devices) < 2 or spec.source_kind in ("extended", "square")
+            or n_rays % len(devices)):
+        return None
+    return jax.sharding.Mesh(np.asarray(devices), ("rays",))
+
+
 def make_moments_fn(spec: ScanSpec, elements, source_info, n_rays: int):
     """Build the per-chain ``moments_fn`` consumed by
     analysis.optimizer.FindOptimalDistancePallas: a closure over THIS chain's
     device elements and fused-source description that evaluates the shared
     runtime-scalar kernel (no recompile across chains of the same ScanSpec).
 
-    ``source_info`` is the chain's models.chain.FusedSourceInfo."""
+    ``source_info`` is the chain's models.chain.FusedSourceInfo. With
+    ART_TPU_SCAN_MESH=1 on a multi-device host the kernel pass shards the
+    ray axis over all devices (see :func:`_scan_mesh`)."""
     baked_src = source_info.baked()
     src_rot = np.asarray(baked_src.rot, np.float64)
     src_origin = np.asarray(baked_src.origin, np.float64)
     radius = float(baked_src.radius)
     pos_radius = float(baked_src.pos_radius)
+    mesh = _scan_mesh(spec, n_rays)
 
     def moments_fn(det_centre, det_normal, det_rot, gaussian_edge=None,
                    centre_distance=0.0):
@@ -225,11 +247,20 @@ def make_moments_fn(spec: ScanSpec, elements, source_info, n_rays: int):
         )
         svec = scan_chain_scalars(elements, src_rot, src_origin,
                                   det_centre, det_normal, det_rot)
-        moments = scan_moments(
-            spec, svec, n_rays, opl_ref, inv_dn_chief,
-            centre_distance=centre_distance, radius=radius,
-            gaussian_edge=gaussian_edge, pos_radius=pos_radius,
-        )
+        if mesh is not None:
+            from ..parallel.mesh import scan_moments_sharded
+
+            moments = scan_moments_sharded(
+                spec, svec, n_rays, mesh, opl_ref, inv_dn_chief,
+                centre_distance=centre_distance, radius=radius,
+                gaussian_edge=gaussian_edge, pos_radius=pos_radius,
+            )
+        else:
+            moments = scan_moments(
+                spec, svec, n_rays, opl_ref, inv_dn_chief,
+                centre_distance=centre_distance, radius=radius,
+                gaussian_edge=gaussian_edge, pos_radius=pos_radius,
+            )
         return {
             "moments": moments,
             "opl_ref": opl_ref,

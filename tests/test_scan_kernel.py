@@ -255,6 +255,28 @@ def test_sharded_scan_moments_match_single_device(base):
                              n_total, mesh, opl_ref, inv_dn)
 
 
+def test_scan_mesh_env_shards_moments_fn(base, monkeypatch):
+    """ART_TPU_SCAN_MESH=1 routes make_moments_fn through the sharded scan
+    kernel on a multi-device host; the optimizer-facing moments match the
+    single-device closure."""
+    chain, elements, det, _spec = base
+    n = 16384  # divides over the 8 virtual devices
+    spec = ps.make_scan_spec("cone", elements, n)
+    fn_1 = ps.make_moments_fn(spec, elements, chain.source_spec, n)
+    mom_1 = fn_1(det.centre, det.normal, det._plane_rotation())
+    monkeypatch.setenv("ART_TPU_SCAN_MESH", "1")
+    assert ps._scan_mesh(spec, n) is not None
+    fn_8 = ps.make_moments_fn(spec, elements, chain.source_spec, n)
+    mom_8 = fn_8(det.centre, det.normal, det._plane_rotation())
+    rec = {"opl_ref": mom_1["opl_ref"], "centre_distance": 0.0}
+    _assert_stats_close(
+        _stats_of_moments({**rec, "moments": mom_8["moments"]}, DISTANCES),
+        _stats_of_moments({**rec, "moments": mom_1["moments"]}, DISTANCES))
+    # alignment-constrained kinds refuse the mesh (stay single-device)
+    assert ps._scan_mesh(spec._replace(source_kind="extended"), n) is None
+    assert ps._scan_mesh(spec, n + 3) is None  # non-dividing ray count
+
+
 def test_driver_fused_scan_monte_carlo(monkeypatch):
     """Monte-Carlo tolerancing (every element randomly rotated AND shifted,
     masks included) routes through the fused scan engine and matches the
