@@ -247,8 +247,14 @@ def _stats_of_scalars(scal_tuple, spec: FusedLossSpec, kf, idx, block_rows,
         incidence=zeros,
     )
     for el, (M, b) in zip(spec.elements, maps):
+        # stats_rows masks dead rays (and their tangents: d(w)=0 on dead
+        # lanes through the where), so the freeze selects are skipped — the
+        # same measured ~20% win as the moments kernels; bounded-garbage
+        # primals keep bounded tangents (every guard in the root/seed path
+        # uses the safe-operand double-where pattern)
         s = chained_step(el, M, b, s, want_incidence=False,
-                         ignore_defects=spec.ignore_defects)
+                         ignore_defects=spec.ignore_defects,
+                         freeze_dead=False)
     det = pt.BakedDetector(
         centre=det_rel[0], normal=det_rel[1], e1=det_rel[2], e2=det_rel[3],
         distances=(0.0,), opl_ref=spec.opl_ref, delay_offsets=(0.0,),
